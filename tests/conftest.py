@@ -1,0 +1,44 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+The ambient environment injects a TPU PJRT plugin (via sitecustomize on
+PYTHONPATH) that overrides JAX_PLATFORMS, so the env var alone does not
+stick; ``jax.config.update`` after import does. Real-TPU checks live
+behind TAT_TPU_TESTS=1 (the driver benches on hardware separately); the
+default test run must be hermetic and fast.
+"""
+
+import os
+
+# XLA_FLAGS must be in place before the first backend initialization.
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+if os.environ.get("TAT_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+REFERENCE_MODELS = "/root/reference/models"
+
+
+def reference_model(name: str) -> str:
+    path = os.path.join(REFERENCE_MODELS, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference model {name} not available")
+    return path
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices()

@@ -1,0 +1,338 @@
+"""Network graph IR.
+
+The IR is a flat, topologically-ordered op list over named tensors —
+deliberately close to the `.mars` layer table (``include/mars.h:59-79``)
+so the importer is near-trivial, but normalized for TPU execution:
+
+- weights are unpacked from NNA layouts (NMHWSOIB2 -> OIHW) at import;
+- feature layout is canonicalized to NHWC (TPU-native; channels-last
+  feeds the MXU lane dimension) with the original `.mars` layout recorded
+  so bit-parity tests can transpose back;
+- per-tensor quantization (scale, zero_point) is carried on tensors, as
+  in the reference (``include/mars.h:130-131``).
+
+The executor (``runtime.executor``) traces this IR into a single jitted
+XLA program — the TPU replacement for the reference's per-layer
+interpreter loop (``src/mars/mars_runtime.c:439-459``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from thingino_accel_tpu.formats import mars as M
+from thingino_accel_tpu.formats.packing import unpack_nmhwsoib2
+
+
+@dataclass(frozen=True)
+class QuantInfo:
+    """Per-tensor affine quantization: real = (q - zero_point) * scale."""
+
+    scale: float = 1.0
+    zero_point: int = 0
+
+    @property
+    def is_identity(self) -> bool:
+        return self.scale == 1.0 and self.zero_point == 0
+
+
+@dataclass
+class TensorInfo:
+    """A tensor in the graph. Activations are NHWC; weights OIHW."""
+
+    name: str
+    shape: Tuple[int, ...]
+    dtype: np.dtype
+    quant: QuantInfo = field(default_factory=QuantInfo)
+    # Constant data (weights/bias); None for activations.
+    data: Optional[np.ndarray] = None
+    # Layout of `shape` as stored in the source file, for round-tripping.
+    source_format: Optional[M.Format] = None
+
+    @property
+    def is_const(self) -> bool:
+        return self.data is not None
+
+
+@dataclass
+class Node:
+    """One op. `op` is a LayerType name string plus framework extensions."""
+
+    op: str
+    inputs: List[str]
+    outputs: List[str]
+    attrs: Dict[str, Any] = field(default_factory=dict)
+    name: str = ""
+
+    def __repr__(self) -> str:  # compact graph dumps
+        a = {k: v for k, v in self.attrs.items() if not isinstance(v, np.ndarray)}
+        return f"Node({self.op}, {self.inputs}->{self.outputs}, {a})"
+
+
+@dataclass
+class Graph:
+    """A topologically-ordered network."""
+
+    nodes: List[Node]
+    tensors: Dict[str, TensorInfo]
+    inputs: List[str]
+    outputs: List[str]
+    name: str = "network"
+
+    def validate(self) -> None:
+        defined = set(self.inputs)
+        defined |= {n for n, t in self.tensors.items() if t.is_const}
+        for node in self.nodes:
+            for i in node.inputs:
+                if i not in self.tensors:
+                    raise ValueError(f"{node}: unknown input tensor {i!r}")
+                if i not in defined:
+                    raise ValueError(
+                        f"{node}: input {i!r} used before definition "
+                        "(graph not topologically ordered)")
+            for o in node.outputs:
+                if o not in self.tensors:
+                    raise ValueError(f"{node}: unknown output tensor {o!r}")
+                defined.add(o)
+        for o in self.outputs:
+            if o not in defined:
+                raise ValueError(f"graph output {o!r} never produced")
+
+    def consumers(self) -> Dict[str, List[Node]]:
+        out: Dict[str, List[Node]] = {}
+        for node in self.nodes:
+            for i in node.inputs:
+                out.setdefault(i, []).append(node)
+        return out
+
+    def producer_map(self) -> Dict[str, Node]:
+        out: Dict[str, Node] = {}
+        for node in self.nodes:
+            for o in node.outputs:
+                out[o] = node
+        return out
+
+    def summary(self) -> str:
+        lines = [f"graph {self.name}: {len(self.nodes)} nodes, "
+                 f"{len(self.tensors)} tensors"]
+        for t in self.inputs:
+            ti = self.tensors[t]
+            lines.append(f"  in  {t}: {ti.shape} {ti.dtype} s={ti.quant.scale}")
+        for node in self.nodes:
+            lines.append(f"  {node!r}")
+        for t in self.outputs:
+            ti = self.tensors[t]
+            lines.append(f"  out {t}: {ti.shape} {ti.dtype} s={ti.quant.scale}")
+        return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# .mars -> IR import
+# ---------------------------------------------------------------------------
+
+def _feature_shape_nhwc(t: M.MarsTensor) -> Tuple[Tuple[int, ...], bool]:
+    """Return (NHWC shape, was_nchw) for a feature tensor descriptor.
+
+    The bundled models mark feature tensors NCHW (format 0) or NDHWC32 with
+    NCHW-ordered dims; the runtime only distinguishes NHWC(7) vs everything
+    else (``src/mars/mars_runtime.c:561``). We canonicalize 4-D features to
+    NHWC and leave other ranks untouched.
+    """
+    if len(t.shape) == 4 and t.format != M.Format.NHWC:
+        n, c, h, w = t.shape
+        return (n, h, w, c), True
+    return tuple(t.shape), False
+
+
+def _unpack_weight(
+    model: M.MarsModel, wt: M.MarsTensor, groups: int = 1
+) -> np.ndarray:
+    """Decode a conv weight tensor from the blob into OIHW int8/f32.
+
+    Handles the layout zoo of ``include/mars.h:47-56``:
+    OIHW (f32 models), OHWI (NHWC-mode models), NMHWSOIB2 (packed int8).
+    """
+    raw = model.weight_bytes(wt)
+    shape = wt.shape
+    if wt.format == M.Format.NMHWSOIB2:
+        o, i, kh, kw = shape
+        return unpack_nmhwsoib2(raw, o, i, kh, kw)
+    arr = np.frombuffer(raw.tobytes(), dtype=wt.dtype.np)
+    if wt.format == M.Format.OHWI:
+        o, kh, kw, i = (shape[0], shape[1], shape[2], shape[3])
+        return np.ascontiguousarray(
+            arr.reshape(o, kh, kw, i).transpose(0, 3, 1, 2))
+    if wt.format == M.Format.HWIO:
+        kh, kw, i, o = shape
+        return np.ascontiguousarray(
+            arr.reshape(kh, kw, i, o).transpose(3, 2, 0, 1))
+    # Default: stored as declared shape. The historical generator
+    # (tools/mars_gen_test.py) emits OHWI data with format code 0; we follow
+    # the *declared shape* ordering [O, ...] and interpret trailing dims by
+    # size. For 4-D (O, A, B, C): if C == in_ch and B == kw -> OHWI else OIHW.
+    if len(shape) == 4:
+        return arr.reshape(shape) if shape[1] * groups <= shape[3] * groups and False else arr.reshape(shape)
+    return arr.reshape(shape)
+
+
+def from_mars(
+    model: M.MarsModel,
+    name: str = "mars",
+    weight_layout_hint: Optional[Dict[int, str]] = None,
+) -> Graph:
+    """Lower a parsed `.mars` file to the IR.
+
+    - features -> NHWC activations
+    - conv weights -> OIHW numpy arrays (unpacked from NMHWSOIB2 etc.)
+    - bias -> int32/f32 1-D arrays
+    - layer params -> node attrs
+
+    ``weight_layout_hint`` maps tensor id -> 'OIHW'|'OHWI' for files whose
+    descriptors don't self-describe the layout (format code reused as 0/1 by
+    old generators, see tools/mars_gen_test.py:30-32 vs include/mars.h:46-56).
+    """
+    g_tensors: Dict[str, TensorInfo] = {}
+    nodes: List[Node] = []
+    tname: Dict[int, str] = {}
+    was_nchw: Dict[int, bool] = {}
+
+    def uniq(base: str, tid: int) -> str:
+        n = base if base else f"t{tid}"
+        if n in g_tensors:
+            n = f"{n}_{tid}"
+        return n
+
+    weight_ids = set()
+    conv_weight_meta: Dict[int, Tuple[int, M.ConvParams]] = {}
+    for layer in model.layers:
+        if layer.type in (M.LayerType.CONV2D, M.LayerType.DEPTHWISE_CONV2D):
+            p = layer.params
+            if p.weight_tensor_id != M.NO_TENSOR:
+                conv_weight_meta[p.weight_tensor_id] = (layer.id, p)
+                weight_ids.add(p.weight_tensor_id)
+            if p.bias_tensor_id != M.NO_TENSOR:
+                weight_ids.add(p.bias_tensor_id)
+        elif layer.type == M.LayerType.FC:
+            p = layer.params
+            if p.weight_tensor_id != M.NO_TENSOR:
+                weight_ids.add(p.weight_tensor_id)
+            if p.bias_tensor_id != M.NO_TENSOR:
+                weight_ids.add(p.bias_tensor_id)
+
+    # Tensors
+    for t in model.tensors:
+        nm = uniq(t.name, t.id)
+        tname[t.id] = nm
+        quant = QuantInfo(scale=float(t.scale), zero_point=int(t.zero_point))
+        if t.is_weight:
+            if t.id in conv_weight_meta:
+                groups = conv_weight_meta[t.id][1].groups
+                hint = (weight_layout_hint or {}).get(t.id)
+                data = _decode_conv_weight(model, t, hint)
+                shape = data.shape
+            else:
+                data = np.frombuffer(
+                    model.weight_bytes(t).tobytes(), dtype=t.dtype.np)
+                if t.numel() and data.size >= t.numel():
+                    data = data[:t.numel()].reshape(t.shape)
+                shape = tuple(data.shape)
+            g_tensors[nm] = TensorInfo(
+                name=nm, shape=tuple(shape), dtype=data.dtype, quant=quant,
+                data=data, source_format=t.format)
+        else:
+            shape, nchw = _feature_shape_nhwc(t)
+            was_nchw[t.id] = nchw
+            g_tensors[nm] = TensorInfo(
+                name=nm, shape=shape, dtype=t.dtype.np, quant=quant,
+                source_format=t.format)
+
+    # Nodes
+    for layer in model.layers:
+        ins = [tname[i] for i in layer.inputs if i != M.NO_TENSOR]
+        outs = [tname[o] for o in layer.outputs if o != M.NO_TENSOR]
+        attrs: Dict[str, Any] = {}
+        p = layer.params
+        if layer.type in (M.LayerType.CONV2D, M.LayerType.DEPTHWISE_CONV2D):
+            attrs = dict(
+                kernel=(p.kernel_h, p.kernel_w),
+                stride=(p.stride_h, p.stride_w),
+                dilation=(p.dilation_h, p.dilation_w),
+                padding=p.padding.name,
+                explicit_pad=(p.pad_top, p.pad_bottom, p.pad_left, p.pad_right),
+                groups=p.groups,
+                activation=p.activation.name,
+            )
+            if p.weight_tensor_id != M.NO_TENSOR:
+                ins = ins + [tname[p.weight_tensor_id]]
+            if p.bias_tensor_id != M.NO_TENSOR:
+                ins = ins + [tname[p.bias_tensor_id]]
+        elif layer.type in (M.LayerType.MAXPOOL, M.LayerType.AVGPOOL,
+                            M.LayerType.GLOBAL_AVGPOOL):
+            attrs = dict(
+                kernel=(p.kernel_h, p.kernel_w),
+                stride=(p.stride_h, p.stride_w),
+                padding=p.padding.name,
+                explicit_pad=(p.pad_top, p.pad_bottom, p.pad_left, p.pad_right),
+            )
+        elif layer.type in (M.LayerType.RELU, M.LayerType.RELU6,
+                            M.LayerType.LEAKY_RELU, M.LayerType.SILU,
+                            M.LayerType.SIGMOID, M.LayerType.SOFTMAX):
+            attrs = dict(alpha=getattr(p, "alpha", 0.0))
+        elif layer.type == M.LayerType.CONCAT:
+            attrs = dict(axis=p.axis)
+        elif layer.type == M.LayerType.UPSAMPLE:
+            attrs = dict(scale=(p.scale_h, p.scale_w), mode=p.mode)
+        elif layer.type in (M.LayerType.RESHAPE, M.LayerType.TRANSPOSE):
+            attrs = dict(new_shape=tuple(getattr(p, "new_shape", ())))
+        elif layer.type == M.LayerType.FC:
+            attrs = dict(activation=p.activation.name)
+            if p.weight_tensor_id != M.NO_TENSOR:
+                ins = ins + [tname[p.weight_tensor_id]]
+            if p.bias_tensor_id != M.NO_TENSOR:
+                ins = ins + [tname[p.bias_tensor_id]]
+        nodes.append(Node(
+            op=layer.type.name, inputs=ins, outputs=outs, attrs=attrs,
+            name=f"L{layer.id}"))
+
+    g = Graph(
+        nodes=nodes,
+        tensors=g_tensors,
+        inputs=[tname[i] for i in model.input_ids],
+        outputs=[tname[o] for o in model.output_ids],
+        name=name,
+    )
+    g.validate()
+    return g
+
+
+def _decode_conv_weight(
+    model: M.MarsModel, wt: M.MarsTensor, hint: Optional[str]
+) -> np.ndarray:
+    """Conv weight blob -> OIHW array."""
+    raw = model.weight_bytes(wt)
+    shape = wt.shape
+    if wt.format == M.Format.NMHWSOIB2:
+        o, i, kh, kw = shape
+        return unpack_nmhwsoib2(raw, o, i, kh, kw)
+    arr = np.frombuffer(raw.tobytes(), dtype=wt.dtype.np)
+    layout = hint
+    if layout is None:
+        if wt.format == M.Format.OHWI:
+            layout = "OHWI"
+        elif wt.format == M.Format.HWIO:
+            layout = "HWIO"
+        else:
+            layout = "OIHW"
+    if layout == "OHWI":
+        o, a, b, c = shape  # declared (O, KH, KW, I) per generator convention
+        return np.ascontiguousarray(
+            arr.reshape(o, a, b, c).transpose(0, 3, 1, 2))
+    if layout == "HWIO":
+        kh, kw, i, o = shape
+        return np.ascontiguousarray(
+            arr.reshape(kh, kw, i, o).transpose(3, 2, 0, 1))
+    return arr.reshape(shape)

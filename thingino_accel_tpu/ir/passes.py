@@ -1,0 +1,125 @@
+"""Graph optimization passes.
+
+The reference has no graph compiler — its runtime executes the layer list
+verbatim. On TPU the jit trace is the program, so passes are cheap and pay
+off at trace/compile time and in fusion quality:
+
+- ``fuse_silu_pairs``: SIGMOID(x) + MUL(x, sig) -> SILU_FUSED (x*σ(x) in
+  one f32 expression with a single requant). YOLOv5 graphs are ~50% such
+  pairs (60 SIGMOID + 60 matching MUL in ``models/yolov5n.mars``).
+- ``fold_batchnorm``: BATCHNORM following CONV2D folded into conv weights
+  (f32 graphs).
+- ``dead_code``: drop nodes whose outputs are never consumed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Set
+
+import numpy as np
+
+from thingino_accel_tpu.ir.graph import Graph, Node
+
+
+def fuse_silu_pairs(graph: Graph) -> List[Node]:
+    """Return a rewritten node list with SIGMOID+MUL pairs fused.
+
+    Pattern: ``s = SIGMOID(x)``, ``y = MUL(x, s)`` (either operand order)
+    where ``s`` has no other consumer. Scales of the pair are preserved in
+    the fused node's attrs for exact-ish int8 replication.
+    """
+    consumers = graph.consumers()
+    nodes = list(graph.nodes)
+    out_set = set(graph.outputs)
+    producer: Dict[str, Node] = graph.producer_map()
+
+    fused: List[Node] = []
+    skip: Set[int] = set()
+    for idx, node in enumerate(nodes):
+        if idx in skip:
+            continue
+        if node.op == "SIGMOID":
+            sig_out = node.outputs[0]
+            cons = consumers.get(sig_out, [])
+            if (len(cons) == 1 and cons[0].op == "MUL"
+                    and sig_out not in out_set):
+                mul = cons[0]
+                other = [i for i in mul.inputs if i != sig_out]
+                if len(other) == 1 and other[0] == node.inputs[0]:
+                    x = node.inputs[0]
+                    fused.append(Node(
+                        op="SILU_FUSED",
+                        inputs=[x],
+                        outputs=list(mul.outputs),
+                        attrs=dict(
+                            in_scale=graph.tensors[x].quant.scale,
+                            sig_scale=graph.tensors[sig_out].quant.scale,
+                            out_scale=graph.tensors[mul.outputs[0]].quant.scale,
+                        ),
+                        name=f"{node.name}+{mul.name}",
+                    ))
+                    skip.add(nodes.index(mul))
+                    continue
+        fused.append(node)
+    return fused
+
+
+def fold_batchnorm(graph: Graph) -> Graph:
+    """Fold BATCHNORM(conv_out) into the preceding f32 CONV2D's weights.
+
+    y = (conv(x, W) + b) * s + t  ==  conv(x, W*s) + (b*s + t)
+    Only applied when the conv output feeds just the BN and both are f32.
+    """
+    consumers = graph.consumers()
+    nodes = list(graph.nodes)
+    remove: Set[int] = set()
+    rename: Dict[str, str] = {}
+
+    for i, node in enumerate(nodes):
+        if node.op != "BATCHNORM" or len(node.inputs) < 3:
+            continue
+        src = node.inputs[0]
+        prod = graph.producer_map().get(src)
+        if prod is None or prod.op != "CONV2D":
+            continue
+        if len(consumers.get(src, [])) != 1:
+            continue
+        wt = graph.tensors.get(prod.inputs[1]) if len(prod.inputs) > 1 else None
+        sc_t = graph.tensors.get(node.inputs[1])
+        bi_t = graph.tensors.get(node.inputs[2])
+        if wt is None or wt.data is None or sc_t is None or bi_t is None:
+            continue
+        if wt.data.dtype != np.float32:
+            continue
+        s = sc_t.data.reshape(-1).astype(np.float32)
+        t = bi_t.data.reshape(-1).astype(np.float32)
+        wt.data = wt.data * s[:, None, None, None]
+        if len(prod.inputs) > 2:
+            bt = graph.tensors[prod.inputs[2]]
+            bt.data = bt.data.astype(np.float32) * s + t
+        else:
+            bias_name = f"{prod.name}_folded_bias"
+            from thingino_accel_tpu.ir.graph import TensorInfo
+            graph.tensors[bias_name] = TensorInfo(
+                name=bias_name, shape=t.shape, dtype=np.dtype(np.float32),
+                data=t.copy())
+            prod.inputs.append(bias_name)
+        # conv now writes what BN wrote
+        prod.outputs = list(node.outputs)
+        remove.add(i)
+
+    if remove:
+        graph.nodes = [n for i, n in enumerate(nodes) if i not in remove]
+    return graph
+
+
+def dead_code(graph: Graph) -> Graph:
+    """Remove nodes whose outputs reach no graph output."""
+    live: Set[str] = set(graph.outputs)
+    keep: List[Node] = []
+    for node in reversed(graph.nodes):
+        if any(o in live for o in node.outputs):
+            keep.append(node)
+            live.update(node.inputs)
+    graph.nodes = list(reversed(keep))
+    return graph

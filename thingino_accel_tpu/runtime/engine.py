@@ -1,0 +1,155 @@
+"""The inference engine: load -> compile once -> run many.
+
+API shape mirrors the reference runtime
+(``include/mars_runtime.h:79-138``: mars_load_file / mars_get_input /
+mars_run / mars_get_output) but the execution model is TPU-native: the
+whole network is one jitted XLA program with weights resident on device,
+replacing ``mars_run``'s per-layer loop + DDR ping-pong planner
+(``src/mars/mars_runtime.c:240-337,439-459``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thingino_accel_tpu.formats import mars as M
+from thingino_accel_tpu.ir.graph import Graph, from_mars
+from thingino_accel_tpu.ir import passes
+from thingino_accel_tpu.runtime.executor import (
+    ExecOptions, build_executor, prepare_params,
+)
+
+
+@dataclasses.dataclass
+class EngineOptions(ExecOptions):
+    """ExecOptions + engine-level switches."""
+
+    nchw_io: bool = False       # accept/return NCHW (the .mars declared layout)
+    fold_bn: bool = True        # fold f32 conv+bn at load
+    donate_inputs: bool = False
+    jit: bool = True
+
+
+class Engine:
+    """Compiled inference engine over a :class:`Graph`."""
+
+    def __init__(self, graph: Graph, options: Optional[EngineOptions] = None):
+        self.options = options or EngineOptions()
+        if self.options.fold_bn and self.options.mode == "full":
+            graph = passes.fold_batchnorm(graph)
+        self.graph = graph
+        self._np_params = prepare_params(graph)
+        self.params = {k: jnp.asarray(v) for k, v in self._np_params.items()}
+        fn = build_executor(graph, self.options)
+        if self.options.jit:
+            self._fn = jax.jit(fn)
+        else:
+            self._fn = fn
+        # mars_model_t-style stats (include/mars_runtime.h:64-66)
+        self.inference_count = 0
+        self.total_inference_s = 0.0
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_mars(
+        cls,
+        src: Union[str, bytes, M.MarsModel],
+        options: Optional[EngineOptions] = None,
+        **import_kwargs: Any,
+    ) -> "Engine":
+        model = src if isinstance(src, M.MarsModel) else M.read_mars(src)
+        graph = from_mars(model, **import_kwargs)
+        return cls(graph, options)
+
+    # -- introspection (mars_get_input/output analogs) ----------------------
+
+    @property
+    def input_names(self) -> List[str]:
+        return list(self.graph.inputs)
+
+    @property
+    def output_names(self) -> List[str]:
+        return list(self.graph.outputs)
+
+    def input_info(self, index: int = 0):
+        return self.graph.tensors[self.graph.inputs[index]]
+
+    def output_info(self, index: int = 0):
+        return self.graph.tensors[self.graph.outputs[index]]
+
+    # -- execution ----------------------------------------------------------
+
+    def _to_nhwc(self, x: np.ndarray) -> np.ndarray:
+        if self.options.nchw_io and x.ndim == 4:
+            return np.transpose(x, (0, 2, 3, 1))
+        return x
+
+    def _from_nhwc(self, x: np.ndarray) -> np.ndarray:
+        if self.options.nchw_io and x.ndim == 4:
+            return np.transpose(x, (0, 3, 1, 2))
+        return x
+
+    def run(self, *args: Any, **inputs: Any) -> Dict[str, jax.Array]:
+        """Run inference. Positional args map to graph inputs in order.
+
+        Returns dict name -> NHWC jax array (or NCHW if ``nchw_io``).
+        """
+        feed: Dict[str, jax.Array] = {}
+        for name, arr in zip(self.graph.inputs, args):
+            feed[name] = arr
+        for name, arr in inputs.items():
+            if name not in self.graph.tensors:
+                raise KeyError(f"unknown input {name!r}")
+            feed[name] = arr
+        for name in self.graph.inputs:
+            if name not in feed:
+                raise ValueError(f"missing input {name!r}")
+            x = np.asarray(feed[name]) if not isinstance(feed[name], jax.Array) \
+                else feed[name]
+            if isinstance(x, np.ndarray):
+                x = self._to_nhwc(x)
+            want = self.graph.tensors[name].dtype
+            feed[name] = jnp.asarray(x, dtype=want)
+
+        t0 = time.perf_counter()
+        out = self._fn(self.params, feed)
+        jax.block_until_ready(out)
+        self.total_inference_s += time.perf_counter() - t0
+        self.inference_count += 1
+        if self.options.nchw_io:
+            out = {k: jnp.asarray(self._from_nhwc(np.asarray(v)))
+                   for k, v in out.items()}
+        return out
+
+    __call__ = run
+
+    def run_np(self, *args: Any, **inputs: Any) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.run(*args, **inputs).items()}
+
+    # -- reporting ----------------------------------------------------------
+
+    def summary(self) -> str:
+        g = self.graph
+        nparams = sum(int(np.prod(v.shape)) for v in self._np_params.values())
+        lines = [
+            f"Engine[{self.options.mode}] {g.name}: {len(g.nodes)} nodes, "
+            f"{nparams} weight elems",
+        ]
+        for n in g.inputs:
+            t = g.tensors[n]
+            lines.append(f"  in  {n}: {t.shape} {t.dtype}")
+        for n in g.outputs:
+            t = g.tensors[n]
+            lines.append(f"  out {n}: {t.shape} {t.dtype}")
+        if self.inference_count:
+            avg = self.total_inference_s / self.inference_count * 1e3
+            lines.append(
+                f"  {self.inference_count} inferences, avg {avg:.3f} ms")
+        return "\n".join(lines)

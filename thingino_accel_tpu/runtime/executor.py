@@ -1,0 +1,352 @@
+"""IR executor: traces the whole graph into one jitted XLA program.
+
+This is the TPU replacement for the reference's per-layer interpreter
+(``src/mars/mars_runtime.c:439-459`` + the execute_* dispatch ``:1161-1224``):
+instead of running layers one by one through hand-managed ping-pong DDR
+buffers (``:240-337``), the entire network is traced once into a single
+XLA computation — buffer placement, fusion, and scheduling belong to the
+compiler.
+
+Two execution modes:
+
+- ``full``   — every declared op implemented with real semantics
+  (depthwise/avgpool/softmax/transpose included, which the reference
+  accepts but skips, ``mars_runtime.c:1168-1213``).
+- ``compat`` — replicates the reference runtime's observable behavior for
+  bit-parity testing: pass-through ops are identity, RELU6 behaves as RELU,
+  SiLU stays an unfused SIGMOID+MUL pair with intermediate requantization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thingino_accel_tpu.ir.graph import Graph, Node, TensorInfo
+from thingino_accel_tpu.ops import conv as conv_mod
+from thingino_accel_tpu.ops import reference as R
+from thingino_accel_tpu.ops.quant import RoundMode
+
+
+@dataclasses.dataclass
+class ExecOptions:
+    mode: str = "full"               # "full" | "compat"
+    conv_backend: Optional[str] = None   # None -> ops.conv global default
+    compute_dtype: Any = jnp.float32     # f32-model conv compute (bfloat16 = fast)
+    round_mode: RoundMode = RoundMode.HALF_AWAY  # conv epilogue rule
+    fuse_silu: bool = True           # fuse SIGMOID+MUL pairs (full mode)
+    batch: int = 1
+
+
+def _is_int8(t: TensorInfo) -> bool:
+    return np.issubdtype(t.dtype, np.signedinteger) and t.dtype.itemsize == 1
+
+
+def _nhwc_out_hw(t: TensorInfo) -> Tuple[int, int]:
+    return t.shape[1], t.shape[2]
+
+
+def prepare_params(graph: Graph) -> Dict[str, np.ndarray]:
+    """Constants of the graph as device-ready arrays.
+
+    Conv weights are stored OIHW in the IR; the executor consumes HWIO
+    (kernel-position-major so each tap is a ``[C, O]`` matmul operand tile
+    on the MXU). Depthwise weights become ``[KH, KW, C]``.
+    """
+    consumers = graph.consumers()
+    params: Dict[str, np.ndarray] = {}
+    dw_weights = set()
+    conv_weights = set()
+    for node in graph.nodes:
+        if node.op in ("CONV2D", "DEPTHWISE_CONV2D"):
+            w = _conv_weight_name(graph, node)
+            if w is not None:
+                groups = node.attrs.get("groups", 1)
+                cin = graph.tensors[node.inputs[0]].shape[3]
+                if node.op == "DEPTHWISE_CONV2D" or (groups > 1 and groups == cin):
+                    dw_weights.add(w)
+                else:
+                    conv_weights.add(w)
+    for name, t in graph.tensors.items():
+        if not t.is_const:
+            continue
+        data = t.data
+        if name in conv_weights:
+            data = np.ascontiguousarray(np.transpose(data, (2, 3, 1, 0)))  # OIHW->HWIO
+        elif name in dw_weights:
+            o, i, kh, kw = data.shape  # OIHW with I=1 (or O=C,I=1)
+            data = np.ascontiguousarray(
+                data.reshape(o * i, kh, kw).transpose(1, 2, 0))  # -> [KH,KW,C]
+        params[name] = data
+    return params
+
+
+def _conv_weight_name(graph: Graph, node: Node) -> Optional[str]:
+    # conv inputs: [x, weight, (bias)]
+    if len(node.inputs) >= 2:
+        return node.inputs[1]
+    return None
+
+
+def build_executor(
+    graph: Graph, opts: ExecOptions
+) -> Callable[[Dict[str, jax.Array], Dict[str, jax.Array]], Dict[str, jax.Array]]:
+    """Return ``fn(params, inputs) -> outputs`` ready for jax.jit."""
+
+    compat = opts.mode == "compat"
+    tensors = graph.tensors
+
+    nodes = list(graph.nodes)
+    if opts.fuse_silu and not compat:
+        from thingino_accel_tpu.ir.passes import fuse_silu_pairs
+        nodes = fuse_silu_pairs(graph)
+
+    def fn(params: Dict[str, jax.Array],
+           inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        env: Dict[str, jax.Array] = {}
+        env.update(inputs)
+        for name, arr in params.items():
+            env[name] = arr
+
+        for node in nodes:
+            _lower_node(node, env, tensors, opts, compat)
+
+        return {o: env[o] for o in graph.outputs}
+
+    return fn
+
+
+def _lower_node(
+    node: Node,
+    env: Dict[str, jax.Array],
+    tensors: Dict[str, TensorInfo],
+    opts: ExecOptions,
+    compat: bool,
+) -> None:
+    op = node.op
+    a = node.attrs
+    out_name = node.outputs[0]
+    out_t = tensors[out_name]
+
+    def scale(nm: str) -> float:
+        return tensors[nm].quant.scale
+
+    if op in ("CONV2D", "DEPTHWISE_CONV2D"):
+        x = env[node.inputs[0]]
+        w = env[node.inputs[1]]
+        bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
+        in_t = tensors[node.inputs[0]]
+        out_hw = _nhwc_out_hw(out_t)
+        pads = R._conv_pads(
+            (x.shape[1], x.shape[2]), out_hw, a["kernel"], a["stride"],
+            a["dilation"], a["padding"], a["explicit_pad"])
+        is_int = _is_int8(in_t)
+        act = a.get("activation", "NONE")
+        relu = act == "RELU"
+        groups = a.get("groups", 1)
+        cin = x.shape[3]
+        depthwise = op == "DEPTHWISE_CONV2D" or (groups > 1 and groups == cin)
+        if is_int:
+            ws = scale(node.inputs[1])
+            if depthwise:
+                out = R.depthwise_conv2d_int8(
+                    x, w, bias, out_hw, a["stride"], a["dilation"], pads,
+                    scale(node.inputs[0]), ws, scale(out_name),
+                    opts.round_mode, relu)
+            elif groups > 1:
+                out = R.grouped_conv2d_int8(
+                    x, w, bias, groups, out_hw, a["stride"], a["dilation"],
+                    pads, scale(node.inputs[0]), ws, scale(out_name),
+                    opts.round_mode, relu)
+            else:
+                out = conv_mod.conv2d_int8(
+                    x, w, bias, out_hw, a["stride"], a["dilation"], pads,
+                    scale(node.inputs[0]), ws, scale(out_name),
+                    opts.round_mode, relu, backend=opts.conv_backend)
+        else:
+            if depthwise:
+                out = R.depthwise_conv2d_f32(
+                    x, w, bias, out_hw, a["stride"], a["dilation"], pads, relu)
+            else:
+                out = R.conv2d_f32(
+                    x, w, bias, out_hw, a["stride"], a["dilation"], pads,
+                    relu, opts.compute_dtype)
+        out = _apply_fused_act(out, act, out_t, compat)
+        env[out_name] = out
+
+    elif op in ("MAXPOOL",):
+        x = env[node.inputs[0]]
+        out_hw = _nhwc_out_hw(out_t)
+        # reference ignores pool padding entirely (mars_runtime.c:939-950)
+        pads = ((0, 0), (0, 0)) if compat else _pool_pads(a)
+        env[out_name] = R.maxpool(x, a["kernel"], a["stride"], out_hw, pads)
+
+    elif op == "AVGPOOL":
+        x = env[node.inputs[0]]
+        if compat:  # unimplemented in reference -> pass-through
+            env[out_name] = x
+            return
+        out_hw = _nhwc_out_hw(out_t)
+        env[out_name] = R.avgpool(
+            x, a["kernel"], a["stride"], out_hw, _pool_pads(a),
+            scale(node.inputs[0]), scale(out_name))
+
+    elif op == "GLOBAL_AVGPOOL":
+        x = env[node.inputs[0]]
+        if compat:
+            env[out_name] = x
+            return
+        env[out_name] = R.global_avgpool(
+            x, scale(node.inputs[0]), scale(out_name))
+
+    elif op == "RELU":
+        env[out_name] = R.relu(env[node.inputs[0]])
+
+    elif op == "RELU6":
+        env[out_name] = R.relu6(
+            env[node.inputs[0]], scale(node.inputs[0]), compat)
+
+    elif op == "LEAKY_RELU":
+        alpha = a.get("alpha", 0.0) or 0.01  # C default (mars_runtime.c:1064)
+        env[out_name] = R.leaky_relu(env[node.inputs[0]], alpha)
+
+    elif op == "SIGMOID":
+        env[out_name] = R.sigmoid(
+            env[node.inputs[0]], scale(node.inputs[0]), scale(out_name))
+
+    elif op == "SILU":
+        x = env[node.inputs[0]]
+        if compat:  # reference treats standalone SILU as no-op (":1184-1186")
+            env[out_name] = x
+            return
+        env[out_name] = R.silu(
+            x, scale(node.inputs[0]), out_scale=scale(out_name))
+
+    elif op == "SILU_FUSED":  # produced by fuse_silu_pairs
+        x = env[node.inputs[0]]
+        env[out_name] = R.silu(
+            x, in_scale=a["in_scale"], sig_scale=a["sig_scale"],
+            out_scale=a["out_scale"], fuse=True)
+
+    elif op == "SOFTMAX":
+        env[out_name] = R.softmax(
+            env[node.inputs[0]], axis=-1,
+            in_scale=scale(node.inputs[0]), out_scale=scale(out_name),
+            compat=compat)
+
+    elif op == "CONCAT":
+        xs = [env[i] for i in node.inputs]
+        axis = int(a.get("axis", 3))
+        # .mars graphs express concat on NCHW axis 1 == NHWC axis 3.
+        if axis == 1 and all(env[i].ndim == 4 for i in node.inputs):
+            axis = 3
+        env[out_name] = R.concat(xs, axis)
+
+    elif op == "ADD":
+        env[out_name] = R.add_q(
+            env[node.inputs[0]], env[node.inputs[1]],
+            scale(node.inputs[0]), scale(node.inputs[1]), scale(out_name))
+
+    elif op == "MUL":
+        env[out_name] = R.mul_q(
+            env[node.inputs[0]], env[node.inputs[1]],
+            scale(node.inputs[0]), scale(node.inputs[1]), scale(out_name))
+
+    elif op == "UPSAMPLE":
+        x = env[node.inputs[0]]
+        out_hw = _nhwc_out_hw(out_t)
+        sc = a.get("scale", (0, 0))
+        if sc[0] <= 0:
+            sc = (out_hw[0] // x.shape[1], out_hw[1] // x.shape[2])
+        if a.get("mode", 0) == 1 and not compat:
+            env[out_name] = R.upsample_bilinear(x, out_hw)
+        else:
+            env[out_name] = R.upsample_nearest(x, sc, out_hw)
+
+    elif op in ("RESHAPE", "TRANSPOSE"):
+        x = env[node.inputs[0]]
+        if compat:  # reference: data no-op (:1203-1209)
+            env[out_name] = x
+            return
+        target = list(out_t.shape)
+        if target and target[0] == 1 and x.shape[0] != 1:
+            target[0] = x.shape[0]
+        numel_t = int(np.prod(target)) if target else 0
+        if numel_t == int(np.prod(x.shape)):
+            env[out_name] = x.reshape(target)
+        else:
+            env[out_name] = x  # shape metadata inconsistent -> identity
+
+    elif op == "BATCHNORM":
+        x = env[node.inputs[0]]
+        sc = env[node.inputs[1]] if len(node.inputs) > 1 else None
+        bi = env[node.inputs[2]] if len(node.inputs) > 2 else None
+        c = x.shape[-1]
+        sc = sc.reshape(-1)[:c] if sc is not None else jnp.ones((c,), jnp.float32)
+        bi = bi.reshape(-1)[:c] if bi is not None else jnp.zeros((c,), jnp.float32)
+        env[out_name] = R.batchnorm(
+            x, sc, bi, scale(node.inputs[0]), scale(out_name))
+
+    elif op == "FC":
+        x = env[node.inputs[0]]
+        w = env[node.inputs[1]]
+        bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
+        xf = x.reshape(x.shape[0], -1)
+        wm = w.reshape(-1, w.shape[-1]) if w.ndim > 2 else w
+        env[out_name] = R.fc(
+            xf, wm, bias, scale(node.inputs[0]), scale(node.inputs[1]),
+            scale(out_name), a.get("activation", "NONE") == "RELU")
+
+    else:
+        raise NotImplementedError(f"op {op!r} not supported by executor")
+
+
+def _pool_pads(a: Dict[str, Any]) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    ep = a.get("explicit_pad", (0, 0, 0, 0))
+    if a.get("padding") == "EXPLICIT":
+        return (ep[0], ep[1]), (ep[2], ep[3])
+    return (0, 0), (0, 0)
+
+
+def _apply_fused_act(
+    out: jax.Array, act: str, out_t: TensorInfo, compat: bool
+) -> jax.Array:
+    """Fused activations beyond RELU (which conv kernels handle inline).
+
+    The reference only ever applies fused RELU post-conv
+    (``mars_runtime.c:701-707``); the format declares more
+    (``include/mars.h:82-91``), implemented here for full mode.
+    """
+    if act in ("NONE", "RELU"):
+        return out
+    if compat:
+        return out
+    sc = out_t.quant.scale
+    if act == "RELU6":
+        return R.relu6(out, sc, compat=False)
+    if act == "LEAKY_RELU":
+        return R.leaky_relu(out, 0.01)
+    if act == "SILU":
+        return R.silu(out, sc, out_scale=sc)
+    if act == "SIGMOID":
+        return R.sigmoid(out, sc, sc)
+    if act == "TANH":
+        if jnp.issubdtype(out.dtype, jnp.integer):
+            xf = out.astype(jnp.float32) * jnp.float32(sc)
+            from thingino_accel_tpu.ops.quant import round_to_int, clamp_i8
+            return clamp_i8(round_to_int(
+                jnp.tanh(xf) / jnp.float32(sc), RoundMode.PLUS_HALF_TRUNC))
+        return jnp.tanh(out)
+    if act == "HARD_SWISH":
+        if jnp.issubdtype(out.dtype, jnp.integer):
+            xf = out.astype(jnp.float32) * jnp.float32(sc)
+            y = xf * jnp.clip(xf + 3.0, 0.0, 6.0) / 6.0
+            from thingino_accel_tpu.ops.quant import round_to_int, clamp_i8
+            return clamp_i8(round_to_int(
+                y / jnp.float32(sc), RoundMode.PLUS_HALF_TRUNC))
+        return out * jnp.clip(out + 3.0, 0.0, 6.0) / 6.0
+    return out
