@@ -1,0 +1,160 @@
+"""YOLO pre/post-processing tests: letterbox, decode, NMS vs a numpy
+oracle transliterating the reference's host-side logic
+(src/mars/mars_yolo_test.c:79-130, examples/yolo_detect.cpp:132-227)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from conftest import reference_model
+from thingino_accel_tpu.models import yolo
+
+
+def np_nms_oracle(boxes_xywh, scores, classes, conf_t, iou_t):
+    """Reference NMS transliteration: sort by conf desc, suppress same-class
+    overlaps (mars_yolo_test.c:107-130)."""
+    keep_idx = [i for i in range(len(scores)) if scores[i] >= conf_t]
+    keep_idx.sort(key=lambda i: -scores[i])
+    out = []
+    sup = set()
+    for ii, i in enumerate(keep_idx):
+        if i in sup:
+            continue
+        out.append(i)
+        for j in keep_idx[ii + 1:]:
+            if j in sup or classes[i] != classes[j]:
+                continue
+            xi, yi, wi, hi = boxes_xywh[i]
+            xj, yj, wj, hj = boxes_xywh[j]
+            x1 = max(xi - wi / 2, xj - wj / 2)
+            y1 = max(yi - hi / 2, yj - hj / 2)
+            x2 = min(xi + wi / 2, xj + wj / 2)
+            y2 = min(yi + hi / 2, yj + hj / 2)
+            inter = max(0, x2 - x1) * max(0, y2 - y1)
+            iou = inter / (wi * hi + wj * hj - inter + 1e-6)
+            if iou > iou_t:
+                sup.add(j)
+    return out
+
+
+def test_nms_matches_oracle(rng):
+    n = 200
+    boxes = np.stack([
+        rng.uniform(50, 590, n), rng.uniform(50, 590, n),
+        rng.uniform(10, 120, n), rng.uniform(10, 120, n)], axis=1
+    ).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    classes = rng.integers(0, 5, n).astype(np.int32)
+
+    dets = yolo.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        conf_thresh=0.25, iou_thresh=0.45, max_dets=200)
+    got = sorted(
+        (round(float(s), 5), int(c))
+        for s, c, v in zip(np.asarray(dets.scores), np.asarray(dets.classes),
+                           np.asarray(dets.valid)) if v)
+
+    ref_idx = np_nms_oracle(boxes, scores, classes, 0.25, 0.45)
+    ref = sorted((round(float(scores[i]), 5), int(classes[i]))
+                 for i in ref_idx)
+    assert got == ref
+
+
+def test_nms_class_aware(rng):
+    # two perfectly-overlapping boxes, different classes: both survive
+    boxes = np.array([[100, 100, 50, 50], [100, 100, 50, 50]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    classes = np.array([0, 1], np.int32)
+    dets = yolo.nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(classes), max_dets=10)
+    assert int(dets.num) == 2
+    # same class: one suppressed
+    dets2 = yolo.nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                           jnp.asarray(np.zeros(2, np.int32)), max_dets=10)
+    assert int(dets2.num) == 1
+
+
+def test_parse_predictions_matches_reference(rng):
+    """parse_predictions == the C parse loop (mars_yolo_test.c:80-104)."""
+    n = 50
+    pred = rng.integers(-128, 128, (1, n, 85), dtype=np.int8)
+    scale = 0.05
+    boxes, conf, classes = yolo.parse_predictions(jnp.asarray(pred), scale)
+    boxes, conf, classes = map(np.asarray, (boxes, conf, classes))
+    for i in range(n):
+        p = pred[0, i].astype(np.float32) * np.float32(scale)
+        obj = 1 / (1 + np.exp(-p[4]))
+        best_c = int(np.argmax(p[5:]))
+        best_s = p[5:].max()
+        want_conf = obj / (1 + np.exp(-best_s))
+        np.testing.assert_allclose(conf[0, i], want_conf, rtol=1e-5)
+        assert classes[0, i] == best_c
+        np.testing.assert_allclose(boxes[0, i], p[0:4], rtol=1e-5)
+
+
+def test_letterbox_shapes_and_fill():
+    frames = np.full((2, 480, 640, 3), 200, np.uint8)
+    out = np.asarray(yolo.letterbox_uint8(jnp.asarray(frames), (640, 640)))
+    assert out.shape == (2, 640, 640, 3)
+    # 480x640 -> scale 1.0, pad 80 top/bottom
+    assert (out[:, :80] == 114).all() and (out[:, -80:] == 114).all()
+    assert (out[:, 80:560] == 200).all()
+
+
+def test_quantize_input_matches_reference():
+    u8 = np.arange(0, 256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    q = np.asarray(yolo.quantize_input_int8(jnp.asarray(u8)))
+    np.testing.assert_array_equal(
+        q, (u8.astype(np.int32) - 128).astype(np.int8))
+
+
+def test_decode_head_level():
+    b, h, w, a, nc = 1, 4, 4, 3, 80
+    feat = np.zeros((b, h, w, a * (5 + nc)), np.float32)
+    anchors = jnp.asarray(yolo.YOLOV5_ANCHORS[0])
+    out = np.asarray(yolo.decode_head_level(jnp.asarray(feat), anchors, 8, nc))
+    assert out.shape == (b, h * w * a, 5 + nc)
+    # zero logits: sigmoid=0.5 -> xy = (2*0.5-0.5+grid)*8 = (grid+0.5)*8
+    xy0 = out[0, 0, :2]
+    np.testing.assert_allclose(xy0, [4.0, 4.0], rtol=1e-6)
+    # wh = (2*0.5)^2 * anchor = anchor
+    np.testing.assert_allclose(out[0, 0, 2:4], yolo.YOLOV5_ANCHORS[0, 0],
+                               rtol=1e-6)
+
+
+def test_scale_boxes_roundtrip():
+    boxes = jnp.asarray([[100.0, 120.0, 200.0, 240.0]])
+    out = np.asarray(yolo.scale_boxes_to_original(boxes, (480, 640), (640, 640)))
+    # 640x480 frame -> scale 1.0, pad_y 80
+    np.testing.assert_allclose(out[0], [100, 40, 200, 160], rtol=1e-5)
+
+
+def test_e2e_pipeline_zoo_graph():
+    """Full device pipeline: frames -> letterbox -> backbone -> decode ->
+    NMS on a zoo yolov5n at small input."""
+    from thingino_accel_tpu.models import zoo
+    from thingino_accel_tpu.runtime import Engine
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(64, 64))
+    g = zoo.build_yolov5("n", cfg)
+    eng = Engine(g)
+
+    in_name = eng.graph.inputs[0]
+    fn, params = eng._fn, eng.params
+
+    @jax.jit
+    def pipeline(frames):
+        lb = yolo.letterbox_uint8(frames, (64, 64))
+        x = yolo.normalize_input_f32(lb)
+        feats = fn(params, {in_name: x})
+        feats = [feats[k] for k in eng.graph.outputs]
+        pred = yolo.decode_heads(feats, strides=(8, 16, 32))
+        boxes, scores, classes = yolo.parse_predictions(
+            pred, 1.0, already_sigmoid=True)
+        return yolo.nms_batched(boxes, scores, classes, max_dets=20)
+
+    frames = np.random.default_rng(0).integers(
+        0, 256, (2, 48, 64, 3), dtype=np.uint8)
+    dets = pipeline(jnp.asarray(frames))
+    assert dets.boxes.shape == (2, 20, 4)
+    assert dets.valid.dtype == bool

@@ -116,6 +116,22 @@ class Graph:
                 out[o] = node
         return out
 
+    def with_outputs(self, outputs: List[str]) -> "Graph":
+        """Re-target graph outputs (graph surgery) and drop dead nodes.
+
+        Used e.g. to read the valid detect-conv features of the bundled
+        YOLO files whose in-file decode head is broken (see
+        ``_materialize_dangling``).
+        """
+        for o in outputs:
+            if o not in self.tensors:
+                raise KeyError(f"unknown tensor {o!r}")
+        g = Graph(nodes=list(self.nodes), tensors=self.tensors,
+                  inputs=list(self.inputs), outputs=list(outputs),
+                  name=self.name)
+        from thingino_accel_tpu.ir import passes
+        return passes.dead_code(g)
+
     def summary(self) -> str:
         lines = [f"graph {self.name}: {len(self.nodes)} nodes, "
                  f"{len(self.tensors)} tensors"]
@@ -148,35 +164,27 @@ def _feature_shape_nhwc(t: M.MarsTensor) -> Tuple[Tuple[int, ...], bool]:
     return tuple(t.shape), False
 
 
-def _unpack_weight(
-    model: M.MarsModel, wt: M.MarsTensor, groups: int = 1
-) -> np.ndarray:
-    """Decode a conv weight tensor from the blob into OIHW int8/f32.
+def _decode_plain_weight(model: M.MarsModel, t: M.MarsTensor) -> np.ndarray:
+    """Decode a non-conv-weight constant (bias, BN scale/bias, LUT).
 
-    Handles the layout zoo of ``include/mars.h:47-56``:
-    OIHW (f32 models), OHWI (NHWC-mode models), NMHWSOIB2 (packed int8).
+    Handles a compiler quirk: `.mars` files emitted from fp16 ONNX exports
+    clone the raw fp16 initializer bytes for conv biases while declaring
+    the tensor FLOAT32 (``mars-compiler/src/main.rs:784-798`` copies
+    ``bias_tensor.data`` verbatim; the fp16->f32 widening at ``:20-46`` is
+    applied elsewhere but not here). Detect via ``data_size == 2*numel``
+    and widen. The reference runtime misreads these as int32/f32 —
+    recorded in docs/DIVERGENCES.md.
     """
-    raw = model.weight_bytes(wt)
-    shape = wt.shape
-    if wt.format == M.Format.NMHWSOIB2:
-        o, i, kh, kw = shape
-        return unpack_nmhwsoib2(raw, o, i, kh, kw)
-    arr = np.frombuffer(raw.tobytes(), dtype=wt.dtype.np)
-    if wt.format == M.Format.OHWI:
-        o, kh, kw, i = (shape[0], shape[1], shape[2], shape[3])
-        return np.ascontiguousarray(
-            arr.reshape(o, kh, kw, i).transpose(0, 3, 1, 2))
-    if wt.format == M.Format.HWIO:
-        kh, kw, i, o = shape
-        return np.ascontiguousarray(
-            arr.reshape(kh, kw, i, o).transpose(3, 2, 0, 1))
-    # Default: stored as declared shape. The historical generator
-    # (tools/mars_gen_test.py) emits OHWI data with format code 0; we follow
-    # the *declared shape* ordering [O, ...] and interpret trailing dims by
-    # size. For 4-D (O, A, B, C): if C == in_ch and B == kw -> OHWI else OIHW.
-    if len(shape) == 4:
-        return arr.reshape(shape) if shape[1] * groups <= shape[3] * groups and False else arr.reshape(shape)
-    return arr.reshape(shape)
+    raw = model.weight_bytes(t).tobytes()
+    numel = t.numel()
+    if (t.dtype == M.DType.FLOAT32 and numel
+            and len(raw) == 2 * numel):
+        return np.frombuffer(raw, dtype=np.float16).astype(np.float32).reshape(
+            t.shape)
+    data = np.frombuffer(raw, dtype=t.dtype.np)
+    if numel and data.size >= numel:
+        data = data[:numel].reshape(t.shape)
+    return data
 
 
 def from_mars(
@@ -230,15 +238,11 @@ def from_mars(
         quant = QuantInfo(scale=float(t.scale), zero_point=int(t.zero_point))
         if t.is_weight:
             if t.id in conv_weight_meta:
-                groups = conv_weight_meta[t.id][1].groups
                 hint = (weight_layout_hint or {}).get(t.id)
                 data = _decode_conv_weight(model, t, hint)
                 shape = data.shape
             else:
-                data = np.frombuffer(
-                    model.weight_bytes(t).tobytes(), dtype=t.dtype.np)
-                if t.numel() and data.size >= t.numel():
-                    data = data[:t.numel()].reshape(t.shape)
+                data = _decode_plain_weight(model, t)
                 shape = tuple(data.shape)
             g_tensors[nm] = TensorInfo(
                 name=nm, shape=tuple(shape), dtype=data.dtype, quant=quant,
@@ -305,20 +309,76 @@ def from_mars(
         outputs=[tname[o] for o in model.output_ids],
         name=name,
     )
+    _quantize_float_biases(g)
+    _materialize_dangling(g)
     g.validate()
     return g
+
+
+def _materialize_dangling(g: Graph) -> None:
+    """Zero-fill activation tensors that are consumed but never produced.
+
+    The reference compiler skips unsupported ONNX ops (Shape/Gather/Slice/
+    Split/Pow — ``mars-compiler/src/main.rs`` op table), leaving layers in
+    the emitted graph that consume tensors with no producer (e.g. the
+    ``/model.24/Split_output_0`` family in the bundled yolov5n detect
+    head). The C runtime reads whatever stale bytes sit in the round-robin
+    work buffer (``src/mars/mars_runtime.c:315-334``); we make them
+    deterministic zeros instead. docs/DIVERGENCES.md has the full story.
+    """
+    produced = set(g.inputs)
+    produced |= {n for n, t in g.tensors.items() if t.is_const}
+    for node in g.nodes:
+        produced.update(node.outputs)
+    for node in g.nodes:
+        for i in node.inputs:
+            if i not in produced and i in g.tensors:
+                t = g.tensors[i]
+                t.data = np.zeros(t.shape, t.dtype)
+                produced.add(i)
+
+
+def _quantize_float_biases(g: Graph) -> None:
+    """int8 convs need int32 bias in accumulator units:
+    ``b_i32 = round(b_real / (in_scale * w_scale))``. Files from fp16 ONNX
+    exports carry float biases even for int8 convs; convert at import so
+    the executor's integer path stays exact."""
+    for node in g.nodes:
+        if node.op not in ("CONV2D", "DEPTHWISE_CONV2D", "FC"):
+            continue
+        if len(node.inputs) < 3:
+            continue
+        xt = g.tensors[node.inputs[0]]
+        bt = g.tensors[node.inputs[2]]
+        wt = g.tensors[node.inputs[1]]
+        if (np.issubdtype(xt.dtype, np.signedinteger) and xt.dtype.itemsize == 1
+                and bt.data is not None
+                and np.issubdtype(bt.data.dtype, np.floating)):
+            denom = np.float32(xt.quant.scale) * np.float32(wt.quant.scale)
+            if denom == 0:
+                denom = np.float32(1.0)
+            q = np.round(bt.data.astype(np.float64) / denom)
+            bt.data = np.clip(q, np.iinfo(np.int32).min,
+                              np.iinfo(np.int32).max).astype(np.int32)
+            bt.dtype = bt.data.dtype
 
 
 def _decode_conv_weight(
     model: M.MarsModel, wt: M.MarsTensor, hint: Optional[str]
 ) -> np.ndarray:
-    """Conv weight blob -> OIHW array."""
+    """Conv weight blob -> OIHW array (fp16-stored f32 widened, see
+    :func:`_decode_plain_weight`)."""
     raw = model.weight_bytes(wt)
     shape = wt.shape
     if wt.format == M.Format.NMHWSOIB2:
         o, i, kh, kw = shape
         return unpack_nmhwsoib2(raw, o, i, kh, kw)
-    arr = np.frombuffer(raw.tobytes(), dtype=wt.dtype.np)
+    numel = wt.numel()
+    if (wt.dtype == M.DType.FLOAT32 and numel
+            and raw.size == 2 * numel):
+        arr = np.frombuffer(raw.tobytes(), dtype=np.float16).astype(np.float32)
+    else:
+        arr = np.frombuffer(raw.tobytes(), dtype=wt.dtype.np)
     layout = hint
     if layout is None:
         if wt.format == M.Format.OHWI:

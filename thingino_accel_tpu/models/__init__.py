@@ -1,1 +1,5 @@
-"""models subsystem."""
+"""Model-family support: YOLO pre/post + zoo + AEC audio model."""
+
+from thingino_accel_tpu.models import yolo, zoo
+
+__all__ = ["yolo", "zoo"]

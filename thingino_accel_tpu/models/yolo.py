@@ -1,0 +1,347 @@
+"""YOLO pre/post-processing, fully on-device.
+
+The reference does letterbox + quantize on the host CPU with stb_image
+(``src/mars/mars_yolo_test.c:40-77``) and detection parsing + NMS on the
+host too (``:79-130``, ``examples/yolo_detect.cpp:132-227``). Here the
+whole pipeline — resize, normalize/quantize, backbone, head decode,
+class-aware NMS — is one jitted XLA program: JPEG-decoded frames in,
+fixed-shape detection tensors out.
+
+All shapes are static (fixed max detections K) so everything fuses and
+batches; NMS is the standard top-k + IoU-matrix greedy formulation
+instead of the reference's O(n^2) pointer-chasing loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# COCO class names (shared vocabulary with the reference's
+# ``mars_yolo_test.c:21-35`` CLASS_NAMES table).
+COCO_CLASSES = (
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep",
+    "cow", "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush",
+)
+
+# YOLOv5 anchors / strides (``examples/yolo_detect.cpp:176-181``).
+YOLOV5_ANCHORS = np.array([
+    [[10, 13], [16, 30], [33, 23]],
+    [[30, 61], [62, 45], [59, 119]],
+    [[116, 90], [156, 198], [373, 326]],
+], dtype=np.float32)
+YOLOV5_STRIDES = (8, 16, 32)
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing (device-side letterbox; reference: mars_yolo_test.c:40-77)
+# ---------------------------------------------------------------------------
+
+
+def letterbox_uint8(
+    frames: jax.Array,            # [B, H, W, 3] uint8
+    target: Tuple[int, int] = (640, 640),
+    pad_value: int = 114,
+) -> jax.Array:
+    """Aspect-preserving resize + center pad, on device, batched.
+
+    Matches the reference letterbox: ``scale = min(tw/w, th/h)``, bilinear
+    resize, gray fill (114) (``examples/yolo_detect.cpp:100-127``). Input
+    frame size is static per jit specialization — the serving path for a
+    fixed camera. Returns uint8 [B, th, tw, 3].
+    """
+    b, h, w, c = frames.shape
+    th, tw = target
+    scale = min(tw / w, th / h)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = jax.image.resize(
+        frames.astype(jnp.float32), (b, nh, nw, c), method="bilinear")
+    resized = jnp.clip(jnp.round(resized), 0, 255).astype(jnp.uint8)
+    py, px = (th - nh) // 2, (tw - nw) // 2
+    return jnp.pad(
+        resized,
+        ((0, 0), (py, th - nh - py), (px, tw - nw - px), (0, 0)),
+        constant_values=np.uint8(pad_value))
+
+
+def quantize_input_int8(frames_u8: jax.Array) -> jax.Array:
+    """uint8 [0,255] -> int8 centered: the reference feeds ``pixel - 128``
+    (``src/mars/mars_yolo_test.c:64-71``)."""
+    return (frames_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+
+
+def normalize_input_f32(frames_u8: jax.Array) -> jax.Array:
+    """uint8 -> f32 in [0,1] (the standard YOLOv5 f32 input)."""
+    return frames_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
+
+def find_detect_outputs(graph) -> list:
+    """Locate the three raw detect-conv outputs in an imported YOLO graph.
+
+    The bundled `.mars` YOLO files carry a broken in-file decode subgraph
+    (skipped Split/Pow ops, zero-shaped tensors — see
+    ``ir.graph._materialize_dangling``); the three 1x1 detect convs
+    (``model.24.m.{0,1,2}`` weights) are intact. Returns their output
+    names sorted by descending spatial size (stride 8, 16, 32).
+    """
+    outs = []
+    for node in graph.nodes:
+        if node.op != "CONV2D" or len(node.inputs) < 2:
+            continue
+        wname = node.inputs[1]
+        t = graph.tensors.get(node.outputs[0])
+        if t is None or len(t.shape) != 4 or 0 in t.shape:
+            continue
+        # detect convs: 1x1, linear, output channels divisible by 85-ish
+        k = node.attrs.get("kernel", (0, 0))
+        if k != (1, 1):
+            continue
+        if ".24." in wname or wname.startswith("model.24"):
+            outs.append((t.shape[1], node.outputs[0]))
+    outs.sort(reverse=True)
+    return [name for _, name in outs]
+
+
+# ---------------------------------------------------------------------------
+# Head decode
+# ---------------------------------------------------------------------------
+
+
+def decode_head_level(
+    feat: jax.Array,              # [B, H, W, A*(5+NC)] f32 raw logits
+    anchors: jax.Array,           # [A, 2] f32 (pixels)
+    stride: int,
+    num_classes: int = 80,
+) -> jax.Array:
+    """YOLOv5 anchor decode for one pyramid level -> [B, H*W*A, 5+NC].
+
+    xy = (2σ(t)-0.5 + grid)*stride ; wh = (2σ(t))^2 * anchor ;
+    obj/cls = σ(t). This is the decode the reference leaves to a TODO in
+    its .mgk path (``examples/yolo_detect.cpp:183-206``) and that its
+    .mars graphs half-express with ops the runtime skips.
+    """
+    b, h, w, ch = feat.shape
+    a = anchors.shape[0]
+    nc = num_classes
+    x = feat.reshape(b, h, w, a, 5 + nc)
+    sig = jax.nn.sigmoid(x)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]      # [H, W, 1, 2]
+    xy = (sig[..., 0:2] * 2.0 - 0.5 + grid) * jnp.float32(stride)
+    wh = jnp.square(sig[..., 2:4] * 2.0) * anchors[None, None, :, :]
+    out = jnp.concatenate([xy, wh, sig[..., 4:]], axis=-1)
+    return out.reshape(b, h * w * a, 5 + nc)
+
+
+def decode_heads(
+    feats: Sequence[jax.Array],
+    anchors: np.ndarray = YOLOV5_ANCHORS,
+    strides: Sequence[int] = YOLOV5_STRIDES,
+    num_classes: int = 80,
+) -> jax.Array:
+    """Decode all pyramid levels and concat -> [B, N, 5+NC]."""
+    outs = [
+        decode_head_level(f, jnp.asarray(anchors[i]), strides[i], num_classes)
+        for i, f in enumerate(feats)
+    ]
+    return jnp.concatenate(outs, axis=1)
+
+
+def parse_predictions(
+    pred: jax.Array,              # [B, N, 5+NC] int8 or f32
+    scale: float = 1.0,
+    already_sigmoid: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """[B,N,5+NC] -> (boxes_xywh [B,N,4], scores [B,N], classes [B,N]).
+
+    Replicates the reference parse (``src/mars/mars_yolo_test.c:80-104``):
+    obj = σ(p4*s); cls = argmax raw class logits; conf = obj * σ(best).
+    ``already_sigmoid`` skips the σ for decoded-head outputs.
+    """
+    p = pred.astype(jnp.float32) * jnp.float32(scale)
+    boxes = p[..., 0:4]
+    if already_sigmoid:
+        obj = p[..., 4]
+        cls_scores = p[..., 5:]
+        best = jnp.max(cls_scores, axis=-1)
+        conf = obj * best
+    else:
+        obj = jax.nn.sigmoid(p[..., 4])
+        cls_logits = p[..., 5:]
+        best = jnp.max(cls_logits, axis=-1)
+        conf = obj * jax.nn.sigmoid(best)
+    classes = jnp.argmax(p[..., 5:], axis=-1).astype(jnp.int32)
+    return boxes, conf, classes
+
+
+# ---------------------------------------------------------------------------
+# NMS (fixed shape, on device)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Detections:
+    """Fixed-shape detection output: entries beyond ``num`` are padding.
+    Registered as a pytree so it flows through jit/vmap."""
+
+    boxes: jax.Array      # [B, K, 4] xyxy, input-image pixels
+    scores: jax.Array     # [B, K]
+    classes: jax.Array    # [B, K] int32
+    valid: jax.Array      # [B, K] bool
+
+    @property
+    def num(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+
+def _xywh_to_xyxy(b: jax.Array) -> jax.Array:
+    xy, wh = b[..., :2], b[..., 2:4]
+    half = wh * 0.5
+    return jnp.concatenate([xy - half, xy + half], axis=-1)
+
+
+def _iou_matrix(boxes: jax.Array) -> jax.Array:
+    """Pairwise IoU of [K,4] xyxy boxes -> [K,K] (``yolo_detect.cpp:136-148``
+    semantics incl. the +1e-6 denominator guard)."""
+    a = boxes[:, None, :]
+    b = boxes[None, :, :]
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    inter = jnp.prod(jnp.maximum(rb - lt, 0.0), axis=-1)
+    area = jnp.prod(jnp.maximum(boxes[:, 2:] - boxes[:, :2], 0.0), axis=-1)
+    union = area[:, None] + area[None, :] - inter
+    return inter / (union + 1e-6)
+
+
+def nms_fixed(
+    boxes_xywh: jax.Array,        # [N, 4] center format
+    scores: jax.Array,            # [N]
+    classes: jax.Array,           # [N] int32
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_dets: int = 100,
+    class_aware: bool = True,
+) -> Detections:
+    """Greedy class-aware NMS with static shapes (single image).
+
+    Top-K prefilter by confidence (scores below ``conf_thresh`` zeroed),
+    then greedy suppression over the score-sorted K×K IoU matrix — the
+    vectorized equivalent of the reference's sort + suppress loops
+    (``src/mars/mars_yolo_test.c:107-130``). O(K^2) with K=max_dets,
+    entirely on device; batch via vmap.
+    """
+    k = min(max_dets, scores.shape[0])
+    masked = jnp.where(scores >= conf_thresh, scores, 0.0)
+    top_scores, idx = jax.lax.top_k(masked, k)
+    top_boxes = _xywh_to_xyxy(boxes_xywh[idx])
+    top_classes = classes[idx]
+
+    iou = _iou_matrix(top_boxes)
+    if class_aware:
+        same = top_classes[:, None] == top_classes[None, :]
+        iou = jnp.where(same, iou, 0.0)
+
+    overlap = iou > iou_thresh
+
+    def body(i, keep):
+        # row i suppresses lower-scored (j > i) overlapping boxes,
+        # but only if i itself survived.
+        row = overlap[i] & (jnp.arange(k) > i) & keep[i]
+        return keep & ~row
+
+    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), bool))
+    valid = keep & (top_scores > 0.0)
+    if k < max_dets:  # pad to the fixed output size
+        pad = max_dets - k
+        top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, pad))
+        top_classes = jnp.pad(top_classes, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return Detections(
+        boxes=top_boxes, scores=top_scores, classes=top_classes, valid=valid)
+
+
+def nms_batched(
+    boxes: jax.Array, scores: jax.Array, classes: jax.Array, **kw
+) -> Detections:
+    """vmap of :func:`nms_fixed` over the batch dim."""
+    fn = partial(nms_fixed, **kw)
+    return jax.vmap(fn)(boxes, scores, classes)
+
+
+def scale_boxes_to_original(
+    boxes_xyxy: jax.Array,
+    orig_hw: Tuple[int, int],
+    letterboxed_hw: Tuple[int, int] = (640, 640),
+) -> jax.Array:
+    """Undo the letterbox transform (``examples/yolo_detect.cpp:209-227``):
+    subtract pad, divide scale, clamp to image bounds."""
+    oh, ow = orig_hw
+    th, tw = letterboxed_hw
+    scale = min(tw / ow, th / oh)
+    px = (tw - ow * scale) / 2.0
+    py = (th - oh * scale) / 2.0
+    shift = jnp.asarray([px, py, px, py], jnp.float32)
+    out = (boxes_xyxy - shift) / jnp.float32(scale)
+    lim = jnp.asarray([ow - 1, oh - 1, ow - 1, oh - 1], jnp.float32)
+    return jnp.clip(out, 0.0, lim)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline builders
+# ---------------------------------------------------------------------------
+
+
+def build_e2e_mars_pipeline(
+    engine,                        # runtime.Engine over a .mars YOLO graph
+    frame_hw: Tuple[int, int],
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_dets: int = 100,
+):
+    """uint8 frames -> Detections, one jitted program, for `.mars` YOLO
+    models whose graph emits [B, N, 85] predictions (the
+    ``mars_yolo_test.c`` flow, entirely on device)."""
+    in_name = engine.graph.inputs[0]
+    out_name = engine.graph.outputs[0]
+    in_t = engine.graph.tensors[in_name]
+    out_t = engine.graph.tensors[out_name]
+    target = (in_t.shape[1], in_t.shape[2])
+    is_int8 = np.issubdtype(in_t.dtype, np.signedinteger)
+    out_scale = out_t.quant.scale
+    fn = engine._fn  # the traced graph body (jit applied around the whole)
+    params = engine.params
+
+    def pipeline(frames_u8: jax.Array) -> Detections:
+        lb = letterbox_uint8(frames_u8, target)
+        x = quantize_input_int8(lb) if is_int8 else normalize_input_f32(lb)
+        preds = fn(params, {in_name: x})[out_name]
+        if preds.ndim == 2:
+            preds = preds[None]
+        boxes, scores, classes = parse_predictions(preds, out_scale)
+        dets = nms_batched(
+            boxes, scores, classes, conf_thresh=conf_thresh,
+            iou_thresh=iou_thresh, max_dets=max_dets)
+        return Detections(
+            boxes=scale_boxes_to_original(dets.boxes, frame_hw, target),
+            scores=dets.scores, classes=dets.classes, valid=dets.valid)
+
+    return jax.jit(pipeline)

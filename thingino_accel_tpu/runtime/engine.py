@@ -62,10 +62,13 @@ class Engine:
         cls,
         src: Union[str, bytes, M.MarsModel],
         options: Optional[EngineOptions] = None,
+        outputs: Optional[List[str]] = None,
         **import_kwargs: Any,
     ) -> "Engine":
         model = src if isinstance(src, M.MarsModel) else M.read_mars(src)
         graph = from_mars(model, **import_kwargs)
+        if outputs is not None:
+            graph = graph.with_outputs(outputs)
         return cls(graph, options)
 
     # -- introspection (mars_get_input/output analogs) ----------------------
