@@ -1,0 +1,106 @@
+"""Headline benchmark: YOLOv5s-int8 @640 end-to-end frames/sec on one chip.
+
+Metric per BASELINE.json: e2e including preprocessing (letterbox +
+quantize) and postprocessing (anchor decode + class-aware NMS), all on
+device in one jitted program. Baseline (north star): 10,000 fps.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs:
+  TAT_BENCH_BATCH   batch size (default: sweep 8/16/32, report best)
+  TAT_BENCH_ITERS   timed iterations per measurement (default 10)
+  TAT_BENCH_MODEL   yolov5 size letter (default "s")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_pipeline(batch: int, size: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thingino_accel_tpu.models import yolo, zoo
+    from thingino_accel_tpu.runtime import Engine, EngineOptions
+
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(640, 640))
+    graph = zoo.build_yolov5(size, cfg)
+    precision = "exact" if os.environ.get("TAT_BENCH_EXACT") == "1" else "fast"
+    eng = Engine(graph, EngineOptions(precision=precision))
+    in_name = eng.graph.inputs[0]
+    out_names = list(eng.graph.outputs)
+    out_scales = [eng.graph.tensors[o].quant.scale for o in out_names]
+    body = eng._fn
+    params = eng.params
+
+    @jax.jit
+    def pipeline(frames_u8):
+        lb = yolo.letterbox_uint8(frames_u8, (640, 640))
+        x = yolo.quantize_input_int8(lb)
+        feats = body(params, {in_name: x})
+        f32 = [feats[k].astype(jnp.float32) * jnp.float32(s)
+               for k, s in zip(out_names, out_scales)]
+        pred = yolo.decode_heads(f32)
+        boxes, scores, classes = yolo.parse_predictions(
+            pred, 1.0, already_sigmoid=True)
+        dets = yolo.nms_batched(boxes, scores, classes, max_dets=100)
+        return dets.boxes, dets.scores, dets.classes, dets.valid
+
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 256, (batch, 640, 640, 3), dtype=np.uint8))
+    return pipeline, frames
+
+
+def measure(batch: int, size: str, iters: int) -> float:
+    import jax
+    pipeline, frames = build_pipeline(batch, size)
+    out = pipeline(frames)          # compile + warmup
+    jax.block_until_ready(out)
+    out = pipeline(frames)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    size = os.environ.get("TAT_BENCH_MODEL", "s")
+    iters = int(os.environ.get("TAT_BENCH_ITERS", "10"))
+    if os.environ.get("TAT_BENCH_BATCH"):
+        batches = [int(os.environ["TAT_BENCH_BATCH"])]
+    else:
+        batches = [8, 16, 32]
+
+    best_fps, best_batch = 0.0, 0
+    for b in batches:
+        try:
+            fps = measure(b, size, iters)
+        except Exception as e:  # OOM at large batch etc.
+            print(f"# batch {b} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        print(f"# batch {b}: {fps:.1f} fps", file=sys.stderr)
+        if fps > best_fps:
+            best_fps, best_batch = fps, b
+
+    result = {
+        "metric": f"yolov5{size}-int8@640 e2e frames/sec/chip "
+                  f"(decode+NMS incl., batch {best_batch})",
+        "value": round(best_fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(best_fps / 10000.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""C-API-shim tests: the call sequences of the reference examples
+(examples/test_init.c, test_model_load.c, mars_test.c) through the
+Python shim."""
+
+import numpy as np
+import pytest
+
+from conftest import reference_model
+from thingino_accel_tpu import api
+
+
+def test_init_sequence():
+    """test_init.c flow: init -> hw info -> deinit."""
+    assert api.nna_init() == api.NNA_SUCCESS
+    info = api.nna_get_hw_info()
+    assert info.num_devices >= 1
+    assert info.platform
+    assert api.nna_lock() == api.NNA_SUCCESS
+    assert api.nna_unlock() == api.NNA_SUCCESS
+    assert api.nna_deinit() == api.NNA_SUCCESS
+
+
+def test_mars_load_run_flow():
+    """mars_test.c flow: load -> summary -> fill input -> run -> output."""
+    err, model = api.mars_load_file(reference_model("tiny_160_int8.mars"))
+    assert err == api.MARS_OK
+    assert api.mars_get_num_inputs(model) == 1
+    assert api.mars_get_num_outputs(model) == 1
+    inp = api.mars_get_input(model, 0)
+    assert inp is not None and inp.dtype == np.int8
+    inp.set_data(np.random.default_rng(0).integers(
+        -128, 128, inp.shape, dtype=np.int8))
+    assert api.mars_run(model) == api.MARS_OK
+    out = api.mars_get_output(model, 0)
+    assert out is not None
+    assert out.data.shape == out.shape
+    api.mars_free(model)
+
+
+def test_mars_error_codes(tmp_path):
+    bad = tmp_path / "bad.mars"
+    bad.write_bytes(b"XXXX" + b"\x00" * 100)
+    err, model = api.mars_load_file(str(bad))
+    assert err == api.MARS_ERR_INVALID_MAGIC and model is None
+    err, model = api.mars_load_file(str(tmp_path / "missing.mars"))
+    assert err == api.MARS_ERR_INVALID_FILE
+    assert api.mars_get_error_string(api.MARS_ERR_INVALID_MAGIC) == \
+        "Invalid magic number"
+    assert api.mars_get_error_string(-99) == "Unknown error"
+
+
+def test_nna_model_api():
+    """test_model_load.c flow via the generic nna_model_* surface."""
+    model = api.nna_model_load(reference_model("tiny_160_f32.mars"))
+    assert model is not None
+    info = api.nna_model_get_info(model)
+    assert info.num_layers == 5
+    t = api.nna_model_get_input(model, 0)
+    assert t is not None
+    by_name = api.nna_model_get_input_by_name(model, t.name)
+    assert by_name is t
+    assert api.nna_model_get_output(model, 99) is None
+    t.set_data(np.zeros(t.shape, np.float32))
+    assert api.nna_model_run(model) == 0
+    api.nna_model_unload(model)
+
+
+def test_tensor_set_data_validates():
+    t = api.Tensor("x", (1, 4, 4, 3), np.int8)
+    with pytest.raises(ValueError):
+        t.set_data(np.zeros((2, 4, 4, 3), np.int8))

@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh: sharded
+inference and the pjit'd QAT train step (what dryrun_multichip drives)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from thingino_accel_tpu.models import zoo
+from thingino_accel_tpu.parallel import (
+    make_mesh, make_sharded_forward, make_sharded_train_step, shard_params,
+)
+from thingino_accel_tpu.runtime import Engine, EngineOptions
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(dp=4, tp=2)
+
+
+def test_mesh_shapes(mesh8):
+    assert mesh8.shape == {"dp": 4, "tp": 2}
+
+
+def test_sharded_forward_matches_single(mesh8):
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(64, 64))
+    g = zoo.build_tiny(cfg, in_hw=(64, 64))
+    eng = Engine(g)
+    x = np.random.default_rng(0).normal(size=(8, 64, 64, 3)).astype(np.float32)
+
+    ref = eng.run_np(x)
+
+    fn, sp = make_sharded_forward(eng, mesh8)
+    out = fn(sp, {g.inputs[0]: jnp.asarray(x)})
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), ref[k],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_yolov5n_forward(mesh8):
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(64, 64))
+    g = zoo.build_yolov5("n", cfg)
+    eng = Engine(g)
+    fn, sp = make_sharded_forward(eng, mesh8)
+    x = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    out = fn(sp, {g.inputs[0]: x})
+    assert sorted(v.shape for v in out.values()) == [
+        (8, 2, 2, 255), (8, 4, 4, 255), (8, 8, 8, 255)]
+
+
+def test_train_step_decreases_loss(mesh8):
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(32, 32))
+    g = zoo.build_tiny(cfg, in_hw=(32, 32))
+    train_step, params, opt_state = make_sharded_train_step(
+        g, mesh8, qat=True, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    x = {g.inputs[0]: jnp.asarray(
+        rng.normal(size=(8, 32, 32, 3)).astype(np.float32))}
+    y = {g.outputs[0]: jnp.asarray(
+        rng.normal(size=(8, 26, 26, 64)).astype(np.float32) * 0.1)}
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, l = train_step(params, opt_state, x, y)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_qat_fake_quant_ste():
+    from thingino_accel_tpu.training.qat import fake_quant, weight_scale
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(3, 3, 8, 16))
+                    .astype(np.float32))
+    s = weight_scale(w)
+    q = fake_quant(w, s)
+    # quantized to the int8 grid
+    np.testing.assert_allclose(
+        np.asarray(q) / np.asarray(s),
+        np.round(np.asarray(q) / np.asarray(s)), atol=1e-4)
+    # STE: gradient is identity
+    gfn = jax.grad(lambda w: jnp.sum(fake_quant(w, s) * 2.0))
+    np.testing.assert_allclose(np.asarray(gfn(w)), 2.0, rtol=1e-6)
+
+
+def test_export_int8_roundtrip():
+    from thingino_accel_tpu.training.qat import export_int8
+    params = {"w": jnp.asarray(
+        np.random.default_rng(2).normal(size=(3, 3, 4, 8)).astype(np.float32))}
+    ints, scales = export_int8(params)
+    assert ints["w"].dtype == np.int8
+    w = np.asarray(params["w"])
+    np.testing.assert_allclose(
+        ints["w"].astype(np.float32) * scales["w"], w,
+        atol=scales["w"] * 0.500001)

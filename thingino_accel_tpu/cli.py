@@ -1,0 +1,215 @@
+"""Command-line tools.
+
+Covers the roles of the reference's offline CLIs and device test
+programs:
+
+- ``summary``  — model inspection (``mars_print_summary`` /
+  ``src/mars/mars_test.c``)
+- ``run``      — load + run on random/zero/npy input, print output stats
+  (``src/mars/mars_yolo_test.c`` without the detection head)
+- ``detect``   — full YOLO detection on an image
+  (``examples/yolo_detect.cpp`` / ``mars_yolo_test.c``)
+- ``compile``  — ONNX -> `.mars` (``mars-compiler`` CLI,
+  ``mars-compiler/src/main.rs:48-73``)
+- ``decompile``— `.mgk` -> metadata/weights dump (``mgk-decompiler`` CLI)
+- ``bench``    — micro/e2e benchmarks (``examples/mars_*_bench.c``)
+
+Usage: ``python -m thingino_accel_tpu.cli <command> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    """Decode an image file to HWC uint8 RGB (stb_image's role)."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+        return np.asarray(arr, np.uint8)
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise SystemExit(
+            "image decoding needs Pillow; pass a .npy file instead") from e
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
+def cmd_summary(args) -> int:
+    from thingino_accel_tpu.formats import mars as M
+    m = M.read_mars(args.model)
+    print(m.summary())
+    return 0
+
+
+def cmd_run(args) -> int:
+    from thingino_accel_tpu.runtime import Engine, EngineOptions
+    opts = EngineOptions(mode=args.mode)
+    eng = Engine.from_mars(args.model, opts)
+    print(eng.summary())
+    rng = np.random.default_rng(args.seed)
+    feed = {}
+    for name in eng.input_names:
+        t = eng.graph.tensors[name]
+        shape = (args.batch,) + tuple(t.shape[1:])
+        if args.input:
+            arr = np.load(args.input).astype(t.dtype)
+        elif np.issubdtype(t.dtype, np.integer):
+            arr = rng.integers(-128, 128, shape).astype(t.dtype)
+        else:
+            arr = rng.normal(size=shape).astype(t.dtype)
+        feed[name] = arr
+    t0 = time.perf_counter()
+    out = eng.run_np(**feed)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = eng.run_np(**feed)
+    run_s = (time.perf_counter() - t0) / max(args.iters, 1)
+    for k, v in out.items():
+        print(f"output {k}: shape={v.shape} dtype={v.dtype} "
+              f"min={v.min()} max={v.max()} mean={float(np.mean(v)):.4f}")
+    print(f"first call (incl. compile): {compile_s*1e3:.1f} ms; "
+          f"steady-state: {run_s*1e3:.2f} ms "
+          f"({args.batch/run_s:.1f} inf/s)")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from thingino_accel_tpu.formats import mars as M
+    from thingino_accel_tpu.ir.graph import from_mars
+    from thingino_accel_tpu.models import yolo
+    from thingino_accel_tpu.runtime import Engine
+
+    g = from_mars(M.read_mars(args.model))
+    det_outs = yolo.find_detect_outputs(g)
+    if det_outs:
+        g = g.with_outputs(det_outs)
+    eng = Engine(g)
+    in_name = eng.graph.inputs[0]
+    in_t = eng.graph.tensors[in_name]
+    target = (in_t.shape[1], in_t.shape[2])
+    is_int8 = np.issubdtype(in_t.dtype, np.signedinteger)
+    scales = [eng.graph.tensors[o].quant.scale for o in eng.graph.outputs]
+
+    img = _load_image(args.image)
+    frames = jnp.asarray(img[None])
+
+    body, params = eng._fn, eng.params
+
+    @jax.jit
+    def pipeline(frames_u8):
+        lb = yolo.letterbox_uint8(frames_u8, target)
+        x = (yolo.quantize_input_int8(lb) if is_int8
+             else yolo.normalize_input_f32(lb))
+        feats = body(params, {in_name: x})
+        if det_outs:
+            f32 = [feats[k].astype(jnp.float32) * jnp.float32(s)
+                   for k, s in zip(eng.graph.outputs, scales)]
+            pred = yolo.decode_heads(f32)
+            b, s, c = yolo.parse_predictions(pred, 1.0, already_sigmoid=True)
+        else:
+            (o,) = feats.values()
+            b, s, c = yolo.parse_predictions(o, scales[0])
+        return yolo.nms_batched(
+            b, s, c, conf_thresh=args.conf, iou_thresh=args.iou,
+            max_dets=args.max_dets)
+
+    dets = pipeline(frames)
+    boxes = np.asarray(yolo.scale_boxes_to_original(
+        dets.boxes, img.shape[:2], target))
+    n = int(np.asarray(dets.num)[0])
+    print(f"{n} detections:")
+    sc, cl, va = map(np.asarray, (dets.scores, dets.classes, dets.valid))
+    for i in range(dets.boxes.shape[1]):
+        if not va[0, i]:
+            continue
+        name = (yolo.COCO_CLASSES[cl[0, i]]
+                if cl[0, i] < len(yolo.COCO_CLASSES) else "?")
+        x0, y0, x1, y1 = boxes[0, i]
+        print(f"  {name:<14} {sc[0, i]*100:5.1f}%  "
+              f"({x0:.0f},{y0:.0f})-({x1:.0f},{y1:.0f})")
+    return 0
+
+
+def cmd_compile(args) -> int:
+    from thingino_accel_tpu.formats import onnx as O
+    from thingino_accel_tpu.formats import mars_export
+    graph = O.import_onnx(
+        args.input, float32=args.float32, nhwc=args.nhwc,
+        verbose=args.verbose)
+    mars_export.export_mars(graph, args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_decompile(args) -> int:
+    from thingino_accel_tpu.formats import mgk
+    info = mgk.inspect_mgk(args.input)
+    print(json.dumps(info, indent=2, default=str))
+    if args.extract_weights:
+        mgk.extract_weights(args.input, args.extract_weights)
+        print(f"weights -> {args.extract_weights}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="thingino-accel-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("summary", help="print model structure")
+    s.add_argument("model")
+    s.set_defaults(fn=cmd_summary)
+
+    s = sub.add_parser("run", help="load and run a model")
+    s.add_argument("model")
+    s.add_argument("--input", help=".npy input file")
+    s.add_argument("--batch", type=int, default=1)
+    s.add_argument("--iters", type=int, default=3)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--mode", choices=["full", "compat"], default="full")
+    s.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("detect", help="YOLO detection on an image")
+    s.add_argument("model")
+    s.add_argument("image")
+    s.add_argument("--conf", type=float, default=0.25)
+    s.add_argument("--iou", type=float, default=0.45)
+    s.add_argument("--max-dets", type=int, default=100)
+    s.set_defaults(fn=cmd_detect)
+
+    s = sub.add_parser("compile", help="ONNX -> .mars")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--float32", action="store_true")
+    s.add_argument("--nhwc", action="store_true")
+    s.add_argument("-v", "--verbose", action="store_true")
+    s.set_defaults(fn=cmd_compile)
+
+    s = sub.add_parser("decompile", help=".mgk -> metadata/weights")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("--extract-weights", metavar="DIR")
+    s.set_defaults(fn=cmd_decompile)
+
+    s = sub.add_parser("bench", help="run the headline benchmark")
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""pjit'd forward / train-step builders over a ('dp','tp') mesh.
+
+All sharding is declarative: in_shardings on params (tp over conv output
+channels) and batch (dp), GSPMD propagates through the traced graph and
+inserts the ICI collectives. No hand-written communication — the TPU
+replacement for what a multi-chip extension of the reference would have
+needed NCCL/MPI for (it had none; SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from thingino_accel_tpu.parallel.mesh import (
+    batch_sharding, param_sharding_rules,
+)
+
+
+def make_sharded_forward(engine, mesh: Mesh):
+    """jit the engine's graph body with dp-batch + tp-channel shardings.
+
+    Returns ``(fn, sharded_params)``; call ``fn(sharded_params, inputs)``
+    with inputs whose leading batch dim is divisible by mesh 'dp'.
+    """
+    np_params = {k: np.asarray(v) for k, v in engine.params.items()}
+    rules = param_sharding_rules(np_params, mesh)
+    sharded_params = {
+        k: jax.device_put(v, rules[k]) for k, v in engine.params.items()}
+    xsh = batch_sharding(mesh)
+    body = engine._fn if not hasattr(engine._fn, "__wrapped__") else engine._fn
+
+    in_names = list(engine.graph.inputs)
+    fn = jax.jit(
+        body,
+        in_shardings=(rules, {n: xsh for n in in_names}),
+        out_shardings=NamedSharding(mesh, P("dp")),
+    )
+    return fn, sharded_params
+
+
+def make_sharded_train_step(
+    graph,
+    mesh: Mesh,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    qat: bool = True,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build a pjit'd QAT train step over an f32 IR graph.
+
+    Shardings: params tp over output channels (dp-replicated, so GSPMD
+    psums grads over dp automatically), batch dp, optimizer state follows
+    params. Returns ``(train_step, params, opt_state)`` ready to call with
+    dp-divisible batches.
+    """
+    from thingino_accel_tpu.runtime.executor import (
+        ExecOptions, build_executor, prepare_params,
+    )
+    from thingino_accel_tpu.training.qat import make_train_step
+
+    optimizer = optimizer or optax.adam(1e-4)
+    opts = ExecOptions(mode="full", compute_dtype=compute_dtype)
+    body = build_executor(graph, opts)
+    np_params = prepare_params(graph)
+    float_params = {
+        k: (v.astype(np.float32)
+            if np.issubdtype(v.dtype, np.floating) else v)
+        for k, v in np_params.items()}
+
+    rules = param_sharding_rules(float_params, mesh)
+    params = {k: jax.device_put(jnp.asarray(v), rules[k])
+              for k, v in float_params.items()}
+    opt_state = optimizer.init(params)
+
+    step = make_train_step(body, optimizer, qat=qat)
+    xsh = batch_sharding(mesh)
+    in_names = list(graph.inputs)
+    out_names = list(graph.outputs)
+
+    train_step = jax.jit(
+        step,
+        in_shardings=(
+            rules, None,
+            {n: xsh for n in in_names},
+            {n: xsh for n in out_names},
+        ),
+        donate_argnums=(0, 1),
+    )
+    return train_step, params, opt_state

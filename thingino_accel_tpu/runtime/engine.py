@@ -28,10 +28,20 @@ from thingino_accel_tpu.runtime.executor import (
 
 @dataclasses.dataclass
 class EngineOptions(ExecOptions):
-    """ExecOptions + engine-level switches."""
+    """ExecOptions + engine-level switches.
+
+    ``precision``:
+    - ``"exact"``  — bit-exact int8 integer path (the parity tier,
+      mirroring the reference's requantization semantics to the bit).
+    - ``"fast"``   — int8 storage, bf16 MXU compute: the graph is
+      dequantized at load (``ir.passes.dequantize_graph``); measured
+      ~8.6x faster on yolov5s@640/v5e. int8 I/O preserved at the edges.
+    """
 
     nchw_io: bool = False       # accept/return NCHW (the .mars declared layout)
     fold_bn: bool = True        # fold f32 conv+bn at load
+    precision: str = "exact"    # "exact" | "fast"
+    quantize_outputs: bool = True  # fast tier: keep int8 outputs at edges
     donate_inputs: bool = False
     jit: bool = True
 
@@ -41,6 +51,12 @@ class Engine:
 
     def __init__(self, graph: Graph, options: Optional[EngineOptions] = None):
         self.options = options or EngineOptions()
+        if self.options.precision == "fast" and self.options.mode == "full":
+            graph = passes.dequantize_graph(
+                graph, quantize_outputs=self.options.quantize_outputs)
+            if self.options.compute_dtype == jnp.float32:
+                self.options = dataclasses.replace(
+                    self.options, compute_dtype=jnp.bfloat16)
         if self.options.fold_bn and self.options.mode == "full":
             graph = passes.fold_batchnorm(graph)
         self.graph = graph

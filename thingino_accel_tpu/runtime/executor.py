@@ -267,6 +267,13 @@ def _lower_node(
         else:
             env[out_name] = R.upsample_nearest(x, sc, out_hw)
 
+    elif op == "TRANSPOSE" and "perm" in a:
+        x = env[node.inputs[0]]
+        if compat:
+            env[out_name] = x
+            return
+        env[out_name] = jnp.transpose(x, a["perm"])
+
     elif op in ("RESHAPE", "TRANSPOSE"):
         x = env[node.inputs[0]]
         if compat:  # reference: data no-op (:1203-1209)
@@ -280,6 +287,63 @@ def _lower_node(
             env[out_name] = x.reshape(target)
         else:
             env[out_name] = x  # shape metadata inconsistent -> identity
+
+    elif op == "DEQUANT":
+        x = env[node.inputs[0]]
+        env[out_name] = x.astype(jnp.float32) * jnp.float32(a["scale"])
+
+    elif op == "QUANT":
+        from thingino_accel_tpu.ops.quant import clamp_i8, round_to_int
+        x = env[node.inputs[0]].astype(jnp.float32)
+        q = round_to_int(x / jnp.float32(a["scale"] or 1.0),
+                         RoundMode.PLUS_HALF_TRUNC)
+        env[out_name] = clamp_i8(q)
+
+    elif op == "SPLIT":
+        x = env[node.inputs[0]]
+        axis = int(a["axis"])
+        off = 0
+        for out_nm, sz in zip(node.outputs, a["sizes"]):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(off, off + sz)
+            env[out_nm] = x[tuple(idx)]
+            off += sz
+
+    elif op == "SLICE":
+        x = env[node.inputs[0]]
+        idx = [slice(None)] * x.ndim
+        for (ax, s, e, st) in a["slices"]:
+            idx[ax] = slice(s, e, st)
+        env[out_name] = x[tuple(idx)]
+
+    elif op in ("SUB", "DIV", "POW"):
+        def deq(nm):
+            v = env[nm]
+            if jnp.issubdtype(v.dtype, jnp.integer):
+                return v.astype(jnp.float32) * jnp.float32(
+                    tensors[nm].quant.scale or 1.0)
+            return v.astype(jnp.float32)
+        x = deq(node.inputs[0])
+        y = deq(node.inputs[1])
+        fn = {"SUB": jnp.subtract, "DIV": jnp.divide, "POW": jnp.power}[op]
+        out = fn(x, y)
+        if _is_int8(out_t):
+            from thingino_accel_tpu.ops.quant import clamp_i8, round_to_int
+            out = clamp_i8(round_to_int(
+                out / jnp.float32(out_t.quant.scale or 1.0),
+                RoundMode.PLUS_HALF_TRUNC))
+        env[out_name] = out
+
+    elif op == "CLIP":
+        x = env[node.inputs[0]]
+        lo = a.get("min")
+        hi = a.get("max")
+        out = x
+        if lo is not None:
+            out = jnp.maximum(out, jnp.asarray(lo, out.dtype))
+        if hi is not None:
+            out = jnp.minimum(out, jnp.asarray(hi, out.dtype))
+        env[out_name] = out
 
     elif op == "BATCHNORM":
         x = env[node.inputs[0]]

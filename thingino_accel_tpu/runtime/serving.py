@@ -1,0 +1,143 @@
+"""Batched multi-stream serving.
+
+The reference serves one camera stream on one chip, synchronously
+(``mars_run`` per frame). TPU serving is throughput-oriented: many
+streams batched into one jitted program, with host->device transfer of
+batch N+1 overlapped with device compute of batch N (JAX dispatch is
+async — the double-buffering the reference hand-builds with NNDMA
+descriptor chains falls out of the runtime for free).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class ServingStats:
+    """Throughput/latency accounting (the TPU analog of mars_model_t's
+    inference_us/inference_count stats, include/mars_runtime.h:64-66)."""
+
+    frames: int = 0
+    batches: int = 0
+    wall_s: float = 0.0
+    batch_latencies_s: List[float] = dataclasses.field(default_factory=list)
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.wall_s if self.wall_s else 0.0
+
+    def latency_ms(self, pct: float = 50.0) -> float:
+        if not self.batch_latencies_s:
+            return 0.0
+        return float(np.percentile(self.batch_latencies_s, pct) * 1e3)
+
+    def summary(self) -> str:
+        return (f"{self.frames} frames in {self.wall_s:.3f}s = "
+                f"{self.fps:.1f} fps; batch latency p50 "
+                f"{self.latency_ms(50):.2f} ms / p99 "
+                f"{self.latency_ms(99):.2f} ms")
+
+
+class StreamServer:
+    """Pipelined batch server around any jitted ``fn(batch) -> pytree``.
+
+    ``depth`` controls how many batches may be in flight: with depth=2 the
+    host enqueues batch N+1 (H2D + dispatch) while the device crunches
+    batch N — classic double-buffering.
+    """
+
+    def __init__(self, fn: Callable[[jax.Array], Any], depth: int = 2):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self.fn = fn
+        self.depth = depth
+        self.stats = ServingStats()
+
+    def run(self, batches: Iterable[np.ndarray]) -> Iterator[Any]:
+        """Feed batches through the pipeline, yielding device results in
+        order. Results are yielded as (still-async) jax pytrees; call
+        ``jax.block_until_ready``/np.asarray to materialize."""
+        inflight: collections.deque = collections.deque()
+        t_start = time.perf_counter()
+        for batch in batches:
+            t0 = time.perf_counter()
+            x = jax.device_put(batch)
+            out = self.fn(x)
+            inflight.append((out, t0, len(batch)))
+            if len(inflight) >= self.depth:
+                yield self._drain_one(inflight)
+        while inflight:
+            yield self._drain_one(inflight)
+        self.stats.wall_s += time.perf_counter() - t_start
+
+    def _drain_one(self, inflight) -> Any:
+        out, t0, n = inflight.popleft()
+        out = jax.block_until_ready(out)
+        self.stats.batch_latencies_s.append(time.perf_counter() - t0)
+        self.stats.frames += n
+        self.stats.batches += 1
+        return out
+
+
+class MultiStreamBatcher:
+    """Interleave frames from S independent streams into fixed batches.
+
+    Each batch row i carries stream ``(batch_index*B + i) % S``'s next
+    frame; results are routed back per stream. This is the multi-camera
+    serving layout (one engine, S feeds) that the reference's
+    one-process-per-model design cannot express (SURVEY §2.7).
+    """
+
+    def __init__(self, num_streams: int, batch: int):
+        self.num_streams = num_streams
+        self.batch = batch
+
+    def batches(self, streams: List[Iterator[np.ndarray]]
+                ) -> Iterator[np.ndarray]:
+        s = 0
+        n = self.num_streams
+        live = list(streams)
+        while live:
+            rows = []
+            srcs = []
+            while len(rows) < self.batch and live:
+                idx = s % len(live)
+                try:
+                    rows.append(next(live[idx]))
+                    srcs.append(idx)
+                    s += 1
+                except StopIteration:
+                    live.pop(idx)
+            if not rows:
+                return
+            while len(rows) < self.batch:   # pad tail batch (static shape)
+                rows.append(np.zeros_like(rows[0]))
+            self._last_sources = srcs
+            yield np.stack(rows)
+
+
+def serve_file_model(
+    model_path: str,
+    batches: Iterable[np.ndarray],
+    depth: int = 2,
+) -> ServingStats:
+    """Convenience: serve raw input batches through a `.mars` model and
+    return throughput stats."""
+    import jax.numpy as jnp
+    from thingino_accel_tpu.runtime.engine import Engine
+
+    eng = Engine.from_mars(model_path)
+    in_name = eng.graph.inputs[0]
+    body, params = eng._fn, eng.params
+    fn = jax.jit(lambda x: body(params, {in_name: x}))
+    server = StreamServer(fn, depth=depth)
+    for _ in server.run(batches):
+        pass
+    return server.stats
