@@ -1,0 +1,260 @@
+"""AEC (acoustic echo cancellation) audio model — the second modality.
+
+The reference ships ``AEC_T41_16K_NS_OUT_UC.mgk`` (27 layers:
+Conv/GRU/BatchNorm int8) and runs it host-side via the Venus dlopen path;
+its decompiler scripts rebuild it in PyTorch for verification
+(``mgk-decompiler/scripts/aec_model.py``, ``aec_inference.py``).
+
+Architecture (from the reference's RE notes, ``mgk-decompiler/
+MGK_FORMAT.md``): spectrogram U-Net with a GRU bottleneck —
+input [B, 256 freq, 8 frames, 1] -> encoder (1x1 expand + strided
+freq downsample to 64 bins, 32 ch) -> GRU over frames (hidden 32,
+state streamed across calls) -> decoder (upsample back to 256 bins)
+-> sigmoid mask [B, 256, frames, 2].
+
+TPU-native streaming: the GRU is a ``lax.scan`` carrying hidden state;
+frame-to-frame state is an explicit carry returned to the caller (the
+reference keeps it as a persistent device tensor,
+``mgk-decompiler/scripts/aec_inference.py:5-12``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class AECConfig:
+    freq_bins: int = 256
+    frames: int = 8
+    channels: int = 32
+    hidden: int = 32
+    out_channels: int = 2
+    seed: int = 0
+
+
+def gru_cell(x_t, h, w_ih, w_hh, b_ih, b_hh):
+    """Standard GRU cell (torch gate order r,z,n — what the reference's
+    PyTorch verification model uses, ``scripts/aec_model.py``)."""
+    hs = h.shape[-1]
+    gi = x_t @ w_ih + b_ih
+    gh = h @ w_hh + b_hh
+    i_r, i_z, i_n = gi[..., :hs], gi[..., hs:2 * hs], gi[..., 2 * hs:]
+    h_r, h_z, h_n = gh[..., :hs], gh[..., hs:2 * hs], gh[..., 2 * hs:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def gru_scan(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
+    """GRU over axis 1 of x [B, T, C] via lax.scan -> ([B,T,H], h_T)."""
+    def step(h, x_t):
+        h = gru_cell(x_t, h, w_ih, w_hh, b_ih, b_hh)
+        return h, h
+    xs = jnp.swapaxes(x, 0, 1)          # [T, B, C]
+    h_t, ys = jax.lax.scan(step, h0, xs, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), h_t
+
+
+def init_params(cfg: AECConfig) -> Dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(cfg.seed)
+    c, h = cfg.channels, cfg.hidden
+
+    def w(*shape, fan=None):
+        fan = fan or shape[0]
+        return jnp.asarray(
+            rng.normal(0, 1.0 / np.sqrt(fan), shape).astype(np.float32))
+
+    p = {
+        "bn_in_scale": jnp.ones((1,), jnp.float32),
+        "bn_in_bias": jnp.zeros((1,), jnp.float32),
+        "enc_expand_w": w(1, 1, 1, c),          # HWIO 1x1: 1 -> C
+        "enc_expand_b": jnp.zeros((c,), jnp.float32),
+        "enc_down1_w": w(2, 1, c, c, fan=2 * c),
+        "enc_down1_b": jnp.zeros((c,), jnp.float32),
+        "enc_conv1_w": w(1, 1, c, c, fan=c),
+        "enc_conv1_b": jnp.zeros((c,), jnp.float32),
+        "enc_down2_w": w(2, 1, c, c, fan=2 * c),
+        "enc_down2_b": jnp.zeros((c,), jnp.float32),
+        "enc_conv2_w": w(1, 1, c, c, fan=c),
+        "enc_conv2_b": jnp.zeros((c,), jnp.float32),
+        "bn_pre_scale": jnp.ones((c,), jnp.float32),
+        "bn_pre_bias": jnp.zeros((c,), jnp.float32),
+        "gru1_w_ih": w(c, 3 * h, fan=c),
+        "gru1_w_hh": w(h, 3 * h, fan=h),
+        "gru1_b_ih": jnp.zeros((3 * h,), jnp.float32),
+        "gru1_b_hh": jnp.zeros((3 * h,), jnp.float32),
+        "gru2f_w_ih": w(h, 3 * h, fan=h),
+        "gru2f_w_hh": w(h, 3 * h, fan=h),
+        "gru2f_b_ih": jnp.zeros((3 * h,), jnp.float32),
+        "gru2f_b_hh": jnp.zeros((3 * h,), jnp.float32),
+        "gru2b_w_ih": w(h, 3 * h, fan=h),
+        "gru2b_w_hh": w(h, 3 * h, fan=h),
+        "gru2b_b_ih": jnp.zeros((3 * h,), jnp.float32),
+        "gru2b_b_hh": jnp.zeros((3 * h,), jnp.float32),
+        "dec_conv1_w": w(1, 1, 2 * h, c, fan=2 * h),
+        "dec_conv1_b": jnp.zeros((c,), jnp.float32),
+        "dec_up1_w": w(2, 1, c, c, fan=2 * c),     # freq x2 via repeat+conv
+        "dec_up1_b": jnp.zeros((c,), jnp.float32),
+        "dec_up2_w": w(2, 1, c, c, fan=2 * c),
+        "dec_up2_b": jnp.zeros((c,), jnp.float32),
+        "dec_out_w": w(1, 1, c, cfg.out_channels, fan=c),
+        "dec_out_b": jnp.zeros((cfg.out_channels,), jnp.float32),
+    }
+    return p
+
+
+def _conv(x, w, b, stride=(1, 1)):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + b
+
+
+def init_state(cfg: AECConfig, batch: int = 1) -> jnp.ndarray:
+    """Streaming GRU hidden state (the reference's persistent
+    [64,1,1,32] hidden tensor -> [B, freq_bins/4, hidden] here)."""
+    return jnp.zeros((batch, cfg.freq_bins // 4, cfg.hidden), jnp.float32)
+
+
+def forward(
+    params: Dict[str, jnp.ndarray],
+    spec: jnp.ndarray,                   # [B, 256, T, 1] f32 spectrogram
+    state: Optional[jnp.ndarray] = None,
+    cfg: AECConfig = AECConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming step: spectrogram frames -> sigmoid mask + new state.
+
+    Layout: NHWC with H=freq, W=time. The GRU runs per-frequency-bin over
+    the time axis; ``state`` is carried across calls (streaming).
+    """
+    b, fbins, t, _ = spec.shape
+    p = params
+    if state is None:
+        state = init_state(cfg, b)
+
+    x = spec * p["bn_in_scale"] + p["bn_in_bias"]
+    x = jax.nn.relu(_conv(x, p["enc_expand_w"], p["enc_expand_b"]))
+    x = jax.nn.relu(_conv(x, p["enc_down1_w"], p["enc_down1_b"],
+                          stride=(2, 1)))                       # 128 bins
+    x = jax.nn.relu(_conv(x, p["enc_conv1_w"], p["enc_conv1_b"]))
+    x = jax.nn.relu(_conv(x, p["enc_down2_w"], p["enc_down2_b"],
+                          stride=(2, 1)))                       # 64 bins
+    skip = jax.nn.relu(_conv(x, p["enc_conv2_w"], p["enc_conv2_b"]))
+    x = skip * p["bn_pre_scale"] + p["bn_pre_bias"]
+
+    # GRU over time, vmapped over frequency bins: [B, F, T, C] -> rows
+    bq = x.shape[1]
+    xg = x.reshape(b * bq, t, cfg.channels)
+    h0 = state.reshape(b * bq, cfg.hidden)
+    y1, h1 = gru_scan(xg, h0, p["gru1_w_ih"], p["gru1_w_hh"],
+                      p["gru1_b_ih"], p["gru1_b_hh"])
+    # bidirectional second GRU (bottleneck)
+    z0 = jnp.zeros_like(h0)
+    yf, _ = gru_scan(y1, z0, p["gru2f_w_ih"], p["gru2f_w_hh"],
+                     p["gru2f_b_ih"], p["gru2f_b_hh"])
+    yb, _ = gru_scan(y1, z0, p["gru2b_w_ih"], p["gru2b_w_hh"],
+                     p["gru2b_b_ih"], p["gru2b_b_hh"], reverse=True)
+    y = jnp.concatenate([yf, yb], axis=-1)
+    y = y.reshape(b, bq, t, 2 * cfg.hidden)
+
+    y = jax.nn.relu(_conv(y, p["dec_conv1_w"], p["dec_conv1_b"]))
+    y = y + skip                                              # U-Net skip
+    y = jnp.repeat(y, 2, axis=1)                              # 128 bins
+    y = jax.nn.relu(_conv(y, p["dec_up1_w"], p["dec_up1_b"]))
+    y = jnp.repeat(y, 2, axis=1)                              # 256 bins
+    y = jax.nn.relu(_conv(y, p["dec_up2_w"], p["dec_up2_b"]))
+    mask = jax.nn.sigmoid(_conv(y, p["dec_out_w"], p["dec_out_b"]))
+    new_state = h1.reshape(b, bq, cfg.hidden)
+    return mask, new_state
+
+
+def process_stream(
+    params: Dict[str, jnp.ndarray],
+    spec_frames: jnp.ndarray,            # [B, 256, total_T, 1]
+    chunk: int = 8,
+    cfg: AECConfig = AECConfig(),
+) -> jnp.ndarray:
+    """Streamed inference over a long spectrogram in ``chunk``-frame hops
+    with carried GRU state (one outer lax.scan — the whole stream is a
+    single XLA program; the reference processes chunk-by-chunk from host,
+    ``scripts/aec_inference.py``)."""
+    b, fbins, total_t, c = spec_frames.shape
+    n = total_t // chunk
+    xs = spec_frames[:, :, :n * chunk].reshape(b, fbins, n, chunk, c)
+    xs = jnp.moveaxis(xs, 2, 0)          # [n, B, F, chunk, C]
+
+    def step(state, x):
+        mask, state = forward(params, x, state, cfg)
+        return state, mask
+
+    _, masks = jax.lax.scan(step, init_state(cfg, b), xs)
+    masks = jnp.moveaxis(masks, 0, 2)    # [B, F, n, chunk, 2]
+    return masks.reshape(b, fbins, n * chunk, cfg.out_channels)
+
+
+def try_attach_mgk_weights(
+    params: Dict[str, jnp.ndarray], weights_blob: bytes
+) -> Dict[str, jnp.ndarray]:
+    """Attach GRU weights extracted from the `.mgk` blob at the offsets
+    documented by the reference's RE (``MGK_FORMAT.md``: unidirectional
+    GRU at 0x220c0, bidirectional at 0x0). Conv regions need per-layer
+    attribution work; until then they keep their init values. int8 blocks
+    are dequantized with a nominal scale."""
+    from thingino_accel_tpu.formats.mgk import unpack_gru_blocks
+    out = dict(params)
+    scale = np.float32(1.0 / 64.0)
+    if len(weights_blob) >= 0x220c0 + 4096:
+        uni = unpack_gru_blocks(weights_blob[0x220c0:0x220c0 + 4096], False)
+        w_ih = uni["w_ih"].astype(np.float32) * scale      # [64, 32]
+        w_hh = uni["w_hh"].astype(np.float32) * scale
+        # NNA packs 64x32; torch GRU wants [C, 3H]: use the first C rows
+        c = out["gru1_w_ih"].shape[0]
+        h3 = out["gru1_w_ih"].shape[1]
+        tiled = np.tile(w_ih, (1, (h3 + 31) // 32))[:c, :h3]
+        out["gru1_w_ih"] = jnp.asarray(tiled)
+        tiled_hh = np.tile(w_hh, (1, (h3 + 31) // 32))[
+            :out["gru1_w_hh"].shape[0], :h3]
+        out["gru1_w_hh"] = jnp.asarray(tiled_hh)
+    return out
+
+
+def build_aec_graph(weights_blob: bytes = b"", meta=None):
+    """`.mgk` import entry: returns a callable model object (not a layer
+    IR graph — the GRU's scan carry doesn't fit the flat tensor IR; this
+    mirrors how the reference treats .mgk models as opaque executables,
+    minus executing their code)."""
+    cfg = AECConfig()
+    params = init_params(cfg)
+    if weights_blob:
+        params = try_attach_mgk_weights(params, weights_blob)
+    return AECModel(cfg, params)
+
+
+class AECModel:
+    """Engine-like wrapper: jitted streaming forward with state."""
+
+    def __init__(self, cfg: AECConfig, params: Dict[str, jnp.ndarray]):
+        self.cfg = cfg
+        self.params = params
+        self._fwd = jax.jit(lambda p, x, s: forward(p, x, s, cfg))
+
+    def run(self, spec: np.ndarray, state=None):
+        spec = jnp.asarray(spec, jnp.float32)
+        if spec.ndim == 3:
+            spec = spec[..., None]
+        if state is None:
+            state = init_state(self.cfg, spec.shape[0])
+        mask, new_state = self._fwd(self.params, spec, state)
+        return np.asarray(mask), new_state
+
+    # engine-compat introspection used by api.Model
+    @property
+    def graph(self):
+        raise AttributeError("AEC .mgk models use the streaming API")
