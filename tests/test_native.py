@@ -1,0 +1,77 @@
+"""Native C++ library tests: build, codec parity with the Python
+implementations, JPEG decode round-trip, NMS parity."""
+
+import io
+
+import numpy as np
+import pytest
+
+from thingino_accel_tpu import native
+from thingino_accel_tpu.formats import packing
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.available():
+        pytest.skip("native library unavailable (no compiler?)")
+    return native.load()
+
+
+def test_nmhwsoib2_matches_python(lib, rng):
+    for (o, i, kh, kw) in [(16, 3, 6, 6), (33, 40, 3, 3), (64, 64, 1, 1)]:
+        w = rng.integers(-128, 128, (o, i, kh, kw), dtype=np.int8)
+        packed_py = packing.pack_nmhwsoib2(w)
+        packed_c = native.pack_nmhwsoib2(w)
+        np.testing.assert_array_equal(packed_py, packed_c)
+        back_c = native.unpack_nmhwsoib2(packed_c, o, i, kh, kw)
+        np.testing.assert_array_equal(back_c, w)
+
+
+def test_quantize_matches(lib, rng):
+    u8 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        native.quantize_i8(u8), (u8.astype(np.int32) - 128).astype(np.int8))
+
+
+def test_jpeg_roundtrip(lib):
+    from PIL import Image
+    # smooth gradient (JPEG-friendly) for the fidelity check
+    y = np.linspace(0, 255, 48, dtype=np.uint8)[:, None, None]
+    x = np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None]
+    img = np.broadcast_to((y // 2 + x // 2), (48, 64, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    decoded = native.decode_jpeg(buf.getvalue())
+    assert decoded.shape == (48, 64, 3)
+    assert np.abs(decoded.astype(int) - img.astype(int)).mean() < 3
+    # bit-identical with PIL's libjpeg path
+    ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(decoded, ref)
+
+
+def test_letterbox_native_vs_device(lib):
+    img = np.full((480, 640, 3), 200, np.uint8)
+    out = native.letterbox(img, (640, 640))
+    assert out.shape == (640, 640, 3)
+    assert (out[:80] == 114).all() and (out[-80:] == 114).all()
+    assert (np.abs(out[80:560].astype(int) - 200) <= 1).all()
+
+
+def test_nms_matches_device(lib, rng):
+    n = 150
+    boxes = np.stack([
+        rng.uniform(50, 590, n), rng.uniform(50, 590, n),
+        rng.uniform(10, 120, n), rng.uniform(10, 120, n)], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    classes = rng.integers(0, 5, n).astype(np.int32)
+    keep = native.nms(boxes, scores, classes, 0.25, 0.45, max_out=200)
+
+    import jax.numpy as jnp
+    from thingino_accel_tpu.models import yolo
+    dets = yolo.nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(classes), 0.25, 0.45, max_dets=200)
+    dev = sorted(round(float(s), 5)
+                 for s, v in zip(np.asarray(dets.scores),
+                                 np.asarray(dets.valid)) if v)
+    nat = sorted(round(float(scores[i]), 5) for i in keep)
+    assert nat == dev
