@@ -1,0 +1,86 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path exercised on
+TPU by bench/TAT_TPU_TESTS runs). Bit-parity vs the XLA reference ops."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from thingino_accel_tpu.ops import reference as R
+from thingino_accel_tpu.ops.quant import RoundMode
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    # run pallas kernels in interpreter mode on CPU
+    from jax.experimental.pallas import tpu as pltpu
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+def test_matmul_requant_exact(rng):
+    from thingino_accel_tpu.ops.pallas_kernels import matmul_int8_requant
+    m, k, n = 64, 96, 130
+    x = jnp.asarray(rng.integers(-128, 128, (m, k), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (k, n), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-3000, 3000, (n,), dtype=np.int32))
+    cs = 0.00037
+    got = np.asarray(matmul_int8_requant(x, w, b, cs,
+                                         block_m=32, block_n=128,
+                                         block_k=64))
+    acc = (np.asarray(x, np.int64) @ np.asarray(w, np.int64)
+           + np.asarray(b, np.int64))
+    scaled = np.float32(acc.astype(np.int32).astype(np.float32)
+                        * np.float32(cs))
+    ref = np.clip(np.trunc(scaled + np.where(scaled >= 0, np.float32(0.5),
+                                             np.float32(-0.5))),
+                  -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_conv1x1_matches_reference(rng):
+    from thingino_accel_tpu.ops import pallas_kernels as PK
+    x = jnp.asarray(rng.integers(-128, 128, (1, 8, 8, 32), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (1, 1, 32, 16), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-500, 500, (16,), dtype=np.int32))
+    args = (x, w, b, (8, 8), (1, 1), (1, 1), ((0, 0), (0, 0)),
+            0.05, 0.01, 0.04)
+    got = np.asarray(PK.conv2d_int8(*args))
+    ref = np.asarray(R.conv2d_int8(*args))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_conv3x3_matches_reference(rng):
+    from thingino_accel_tpu.ops import pallas_kernels as PK
+    x = jnp.asarray(rng.integers(-128, 128, (1, 10, 10, 8), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (3, 3, 8, 16), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-500, 500, (16,), dtype=np.int32))
+    args = (x, w, b, (10, 10), (1, 1), (1, 1), ((1, 1), (1, 1)),
+            0.1, 0.02, 0.08)
+    got = np.asarray(PK.conv2d_int8(*args))
+    ref = np.asarray(R.conv2d_int8(*args))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_conv_strided_relu(rng):
+    from thingino_accel_tpu.ops import pallas_kernels as PK
+    x = jnp.asarray(rng.integers(-128, 128, (2, 9, 9, 4), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (3, 3, 4, 8), dtype=np.int8))
+    args = (x, w, None, (4, 4), (2, 2), (1, 1), ((0, 0), (0, 0)),
+            0.1, 0.02, 0.08)
+    got = np.asarray(PK.conv2d_int8(*args, relu=True))
+    ref = np.asarray(R.conv2d_int8(*args, relu=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_backend_dispatch(rng):
+    from thingino_accel_tpu.ops import conv as conv_mod
+    x = jnp.asarray(rng.integers(-128, 128, (1, 6, 6, 8), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (1, 1, 8, 8), dtype=np.int8))
+    args = (x, w, None, (6, 6), (1, 1), (1, 1), ((0, 0), (0, 0)),
+            0.1, 0.01, 0.1)
+    a = np.asarray(conv_mod.conv2d_int8(*args, backend="xla"))
+    b = np.asarray(conv_mod.conv2d_int8(*args, backend="pallas"))
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,238 @@
+"""Pallas/Mosaic TPU kernels: fused int8 conv + requantize.
+
+The reference's hot loop is a hand-written MXU int8 kernel with the
+requantize epilogue inlined per output pixel (``src/mars/mxu_conv.c``:
+S4MACSSB MAC loop + scale/round/clamp at ``:222-248``). The TPU analog:
+a Pallas matmul kernel that keeps the int32 accumulator in VMEM across
+the K loop and applies the scale/round/clamp epilogue before writing
+int8 back to HBM — one HBM round-trip for the whole conv instead of
+(accumulate, requantize) passes.
+
+Convs are expressed as matmuls (im2col-free): 1x1 stride-1 convs are a
+pure ``[N*H*W, C] @ [C, O]``; KxK convs decompose into K*K shifted 1x1s
+accumulated in the same VMEM tile (grid dim over taps).
+
+Tiling: lane dim 128, int8 sublane 32 (pallas_guide: min tile (32,128)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from thingino_accel_tpu.ops.quant import RoundMode
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 matmul + requant (the 1x1-conv / FC kernel)
+# ---------------------------------------------------------------------------
+
+
+def _mm_requant_kernel(x_ref, w_ref, bias_ref, out_ref, acc_ref, *,
+                       n_k: int, combined_scale: float, round_mode: RoundMode,
+                       relu: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        acc = acc_ref[:] + bias_ref[:].astype(jnp.int32)
+        scaled = acc.astype(jnp.float32) * jnp.float32(combined_scale)
+        if round_mode == RoundMode.HALF_AWAY:
+            shifted = scaled + jnp.where(
+                scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+        else:
+            shifted = scaled + jnp.float32(0.5)
+        q = jnp.clip(jnp.trunc(shifted), -128, 127)
+        if relu:
+            q = jnp.maximum(q, 0.0)
+        out_ref[:] = q.astype(jnp.int8)
+
+
+def matmul_int8_requant(
+    x: jax.Array,            # [M, K] int8
+    w: jax.Array,            # [K, N] int8
+    bias: Optional[jax.Array],   # [N] int32
+    combined_scale: float,
+    round_mode: RoundMode = RoundMode.HALF_AWAY,
+    relu: bool = False,
+    block_m: int = 512,
+    block_n: int = 256,
+    block_k: int = 512,
+) -> jax.Array:
+    """Fused ``clamp(round((x@w + b) * s))`` -> int8, accumulator resident
+    in VMEM across the K loop."""
+    m, k = x.shape
+    _, n = w.shape
+    mp, np_, kp = _round_up(m, 32), _round_up(n, 128), _round_up(k, 128)
+    block_m = min(block_m, mp)
+    block_n = min(block_n, np_)
+    block_k = min(block_k, kp)
+    if (m, n, k) != (mp, np_, kp):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+        w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    b = bias if bias is not None else jnp.zeros((n,), jnp.int32)
+    b = jnp.pad(b, (0, np_ - n)).reshape(1, np_)
+
+    n_k = _cdiv(kp, block_k)
+    grid = (_cdiv(mp, block_m), _cdiv(np_, block_n), n_k)
+    kernel = functools.partial(
+        _mm_requant_kernel, n_k=n_k, combined_scale=float(combined_scale),
+        round_mode=round_mode, relu=relu)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x, w, b)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Fused KxK int8 conv: tap-accumulation grid
+# ---------------------------------------------------------------------------
+
+
+def conv2d_int8(
+    x: jax.Array,            # [N, H, W, C] int8
+    w_hwio: jax.Array,       # [KH, KW, C, O] int8
+    bias_i32: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    stride: Tuple[int, int],
+    dilation: Tuple[int, int],
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    in_scale: float,
+    w_scale: float,
+    out_scale: float,
+    round_mode: RoundMode = RoundMode.HALF_AWAY,
+    relu: bool = False,
+) -> jax.Array:
+    """Pallas-fused int8 conv. 1x1 stride-1 goes straight to the matmul
+    kernel; KxK lowers to K*K shifted matmuls whose int32 accumulation
+    lives in one VMEM scratch tile (grid's innermost 'arbitrary' dim walks
+    the taps), with the requant epilogue on the final tap."""
+    n, h, wd, c = x.shape
+    kh, kw, _, o = w_hwio.shape
+    oh, ow = out_hw
+    cs = float(
+        np.float32(np.float32(in_scale) * np.float32(w_scale))
+        / np.float32(out_scale))
+
+    if kh == kw == 1 and stride == (1, 1) and pads == ((0, 0), (0, 0)):
+        out = matmul_int8_requant(
+            x.reshape(n * h * wd, c), w_hwio.reshape(c, o), bias_i32, cs,
+            round_mode, relu)
+        return out.reshape(n, h, wd, o)
+
+    (pt, pb), (pl_, pr) = pads
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
+    # Gather the K*K shifted views once (XLA fuses the slices), stack as a
+    # tap axis, then run a single pallas kernel with taps in the grid.
+    taps = []
+    for dy in range(kh):
+        for dx in range(kw):
+            ys, xs = dy * dilation[0], dx * dilation[1]
+            sl = jax.lax.slice(
+                xp, (0, ys, xs, 0),
+                (n, ys + (oh - 1) * stride[0] + 1,
+                 xs + (ow - 1) * stride[1] + 1, c),
+                (1, stride[0], stride[1], 1))
+            taps.append(sl.reshape(n * oh * ow, c))
+    xt = jnp.stack(taps)                                 # [T, M, C]
+    wt = w_hwio.reshape(kh * kw, c, o)                   # [T, C, O]
+
+    out = _tapconv_call(xt, wt, bias_i32, cs, round_mode, relu, o)
+    return out.reshape(n, oh, ow, o)
+
+
+def _tapconv_kernel(x_ref, w_ref, bias_ref, out_ref, acc_ref, *,
+                    n_steps: int, combined_scale: float,
+                    round_mode: RoundMode, relu: bool):
+    s = pl.program_id(2)   # taps*k steps, innermost
+
+    @pl.when(s == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[0], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        acc = acc_ref[:] + bias_ref[:].astype(jnp.int32)
+        scaled = acc.astype(jnp.float32) * jnp.float32(combined_scale)
+        if round_mode == RoundMode.HALF_AWAY:
+            shifted = scaled + jnp.where(
+                scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+        else:
+            shifted = scaled + jnp.float32(0.5)
+        q = jnp.clip(jnp.trunc(shifted), -128, 127)
+        if relu:
+            q = jnp.maximum(q, 0.0)
+        out_ref[:] = q.astype(jnp.int8)
+
+
+def _tapconv_call(xt, wt, bias, cs, round_mode, relu, n_out,
+                  block_m: int = 1024, block_n: int = 256):
+    t, m, c = xt.shape
+    _, _, o = wt.shape
+    mp = _round_up(m, 32)
+    cp = _round_up(c, 128)
+    op = _round_up(o, 128)
+    block_m = min(block_m, mp)
+    block_n = min(block_n, op)
+    if (m, c, o) != (mp, cp, op):
+        xt = jnp.pad(xt, ((0, 0), (0, mp - m), (0, cp - c)))
+        wt = jnp.pad(wt, ((0, 0), (0, cp - c), (0, op - o)))
+    b = bias if bias is not None else jnp.zeros((o,), jnp.int32)
+    b = jnp.pad(b, (0, op - o)).reshape(1, op)
+
+    grid = (_cdiv(mp, block_m), _cdiv(op, block_n), t)
+    kernel = functools.partial(
+        _tapconv_kernel, n_steps=t, combined_scale=cs,
+        round_mode=round_mode, relu=relu)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_m, cp), lambda i, j, s: (s, i, 0)),
+            pl.BlockSpec((1, cp, block_n), lambda i, j, s: (s, 0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, s: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, s: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, op), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(xt, wt, b)
+    return out[:m, :n_out]
