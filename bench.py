@@ -78,7 +78,7 @@ def main() -> None:
     if os.environ.get("TAT_BENCH_BATCH"):
         batches = [int(os.environ["TAT_BENCH_BATCH"])]
     else:
-        batches = [8, 16, 32]
+        batches = [64]
 
     best_fps, best_batch = 0.0, 0
     for b in batches:

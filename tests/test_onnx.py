@@ -1,0 +1,187 @@
+"""ONNX importer tests: writer->importer round trips with torch as the
+semantics oracle, plus the real reference-exported ONNX files."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from thingino_accel_tpu.formats import onnx_proto as OP
+from thingino_accel_tpu.formats import onnx_writer as W
+from thingino_accel_tpu.formats.onnx import import_onnx
+from thingino_accel_tpu.runtime import Engine
+
+MGK_DIR = "/root/reference/mgk-decompiler"
+
+
+def run_engine(g, feed):
+    eng = Engine(g)
+    return eng.run_np(**feed)
+
+
+def test_conv_relu_vs_torch(rng):
+    w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+    b = rng.normal(size=(8,)).astype(np.float32)
+    m = W.build_model(
+        nodes=[
+            ("Conv", ["x", "w", "b"], ["c"],
+             dict(kernel_shape=(3, 3), strides=(2, 2), pads=(1, 1, 1, 1))),
+            ("Relu", ["c"], ["y"], None),
+        ],
+        inputs={"x": ((1, 3, 16, 16), OP.TP_FLOAT)},
+        outputs={"y": ((1, 8, 8, 8), OP.TP_FLOAT)},
+        initializers={"w": w, "b": b},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(1, 3, 16, 16)).astype(np.float32)
+    got = list(run_engine(g, {"x": np.transpose(x, (0, 2, 3, 1))}).values())[0]
+    ref = torch.relu(torch.nn.functional.conv2d(
+        torch.tensor(x), torch.tensor(w), torch.tensor(b),
+        stride=2, padding=1)).numpy()
+    np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_fold_vs_torch(rng):
+    c = 6
+    w = rng.normal(size=(c, 3, 1, 1)).astype(np.float32)
+    gamma = rng.uniform(0.5, 2, c).astype(np.float32)
+    beta = rng.normal(size=c).astype(np.float32)
+    mean = rng.normal(size=c).astype(np.float32)
+    var = rng.uniform(0.5, 2, c).astype(np.float32)
+    m = W.build_model(
+        nodes=[
+            ("Conv", ["x", "w"], ["c"], dict(kernel_shape=(1, 1))),
+            ("BatchNormalization",
+             ["c", "gamma", "beta", "mean", "var"], ["y"],
+             dict(epsilon=1e-5)),
+        ],
+        inputs={"x": ((1, 3, 4, 4), OP.TP_FLOAT)},
+        outputs={"y": ((1, c, 4, 4), OP.TP_FLOAT)},
+        initializers={"w": w, "gamma": gamma, "beta": beta,
+                      "mean": mean, "var": var},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(1, 3, 4, 4)).astype(np.float32)
+    got = list(run_engine(g, {"x": np.transpose(x, (0, 2, 3, 1))}).values())[0]
+    with torch.no_grad():
+        bn = torch.nn.BatchNorm2d(c, eps=1e-5).eval()
+        bn.weight.copy_(torch.tensor(gamma))
+        bn.bias.copy_(torch.tensor(beta))
+        bn.running_mean.copy_(torch.tensor(mean))
+        bn.running_var.copy_(torch.tensor(var))
+        ref = bn(torch.nn.functional.conv2d(
+            torch.tensor(x), torch.tensor(w))).numpy()
+    np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_gru_vs_torch(rng):
+    t_len, b_sz, c, h = 5, 2, 4, 3
+    w = rng.normal(size=(1, 3 * h, c)).astype(np.float32)
+    r = rng.normal(size=(1, 3 * h, h)).astype(np.float32)
+    bias = rng.normal(size=(1, 6 * h)).astype(np.float32)
+    m = W.build_model(
+        nodes=[("GRU", ["x", "w", "r", "b"], ["y", "yh"],
+                dict(hidden_size=h, linear_before_reset=1))],
+        inputs={"x": ((t_len, b_sz, c), OP.TP_FLOAT)},
+        outputs={"y": ((t_len, 1, b_sz, h), OP.TP_FLOAT),
+                 "yh": ((1, b_sz, h), OP.TP_FLOAT)},
+        initializers={"w": w, "r": r, "b": bias},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(t_len, b_sz, c)).astype(np.float32)
+    out = run_engine(g, {"x": x})
+    got_y = out["y"]
+
+    # torch GRU: gates (r,z,n); ONNX order (z,r,h) -> remap
+    gru = torch.nn.GRU(c, h)
+    wz, wr, wh = w[0, :h], w[0, h:2 * h], w[0, 2 * h:]
+    rz, rr, rh = r[0, :h], r[0, h:2 * h], r[0, 2 * h:]
+    wbz, wbr, wbh = bias[0, :h], bias[0, h:2 * h], bias[0, 2 * h:3 * h]
+    rbz, rbr, rbh = (bias[0, 3 * h:4 * h], bias[0, 4 * h:5 * h],
+                     bias[0, 5 * h:])
+    with torch.no_grad():
+        gru.weight_ih_l0.copy_(torch.tensor(np.concatenate([wr, wz, wh])))
+        gru.weight_hh_l0.copy_(torch.tensor(np.concatenate([rr, rz, rh])))
+        gru.bias_ih_l0.copy_(torch.tensor(np.concatenate([wbr, wbz, wbh])))
+        gru.bias_hh_l0.copy_(torch.tensor(np.concatenate([rbr, rbz, rbh])))
+        ref, ref_h = gru(torch.tensor(x))
+    np.testing.assert_allclose(got_y[:, 0], ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(out["yh"][0], ref_h.numpy()[0], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_conv1d_and_transpose_vs_torch(rng):
+    c_in, c_out, ln = 4, 6, 10
+    w = rng.normal(size=(c_out, c_in, 2)).astype(np.float32)
+    wt = rng.normal(size=(c_out, c_in, 2)).astype(np.float32)  # CT: [I,O,K]
+    m = W.build_model(
+        nodes=[
+            ("Conv", ["x", "w"], ["c"],
+             dict(kernel_shape=(2,), strides=(2,), pads=(0, 0))),
+            ("ConvTranspose", ["c", "wt"], ["y"],
+             dict(kernel_shape=(2,), strides=(2,), pads=(0, 0))),
+        ],
+        inputs={"x": ((1, c_in, ln), OP.TP_FLOAT)},
+        outputs={"y": ((1, c_in, ln), OP.TP_FLOAT)},
+        initializers={"w": w, "wt": wt},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(1, c_in, ln)).astype(np.float32)
+    got = list(run_engine(g, {"x": x}).values())[0]
+    with torch.no_grad():
+        mid = torch.nn.functional.conv1d(torch.tensor(x), torch.tensor(w),
+                                         stride=2)
+        ref = torch.nn.functional.conv_transpose1d(
+            mid, torch.tensor(wt), stride=2).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_split_slice_pow(rng):
+    m = W.build_model(
+        nodes=[
+            ("Split", ["x"], ["a", "b"], dict(axis=1, split=(2, 2))),
+            ("Pow", ["a", "two"], ["p"], None),
+            ("Mul", ["p", "b"], ["y"], None),
+        ],
+        inputs={"x": ((1, 4, 4, 4), OP.TP_FLOAT)},
+        outputs={"y": ((1, 2, 4, 4), OP.TP_FLOAT)},
+        initializers={"two": np.asarray(2.0, np.float32)},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    got = list(run_engine(g, {"x": np.transpose(x, (0, 2, 3, 1))}).values())[0]
+    a, b = x[:, :2], x[:, 2:]
+    ref = np.transpose(a ** 2 * b, (0, 2, 3, 1))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(MGK_DIR), reason="reference absent")
+def test_reference_aec_onnx_runs():
+    g = import_onnx(os.path.join(MGK_DIR, "aec_model_with_weights.onnx"),
+                    float32=True)
+    assert any(n.op == "GRU" for n in g.nodes)
+    assert any(n.op == "CONV1D" for n in g.nodes)
+    rng = np.random.default_rng(0)
+    feed = {i: rng.normal(size=g.tensors[i].shape).astype(np.float32)
+            for i in g.inputs}
+    out = run_engine(g, feed)
+    (v,) = out.values()
+    assert v.shape == (1, 256, 2)
+    assert np.isfinite(v).all()
+    assert 0.0 <= v.min() and v.max() <= 1.0   # sigmoid mask
+
+
+@pytest.mark.skipif(not os.path.exists(MGK_DIR), reason="reference absent")
+def test_reference_yolo_onnx_runs():
+    g = import_onnx(os.path.join(MGK_DIR, "yolov5s_t41.onnx"), float32=True)
+    assert sum(1 for n in g.nodes if n.op == "CONV2D") > 50
+    rng = np.random.default_rng(0)
+    feed = {i: rng.normal(size=g.tensors[i].shape).astype(np.float32)
+            for i in g.inputs}
+    out = run_engine(g, feed)
+    for v in out.values():
+        assert np.isfinite(v).all()

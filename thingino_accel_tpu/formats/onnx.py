@@ -186,12 +186,14 @@ def _import_node(ctx: _Ctx, n: OP.NodeProto) -> None:
     op = n.op_type
     handler = _HANDLERS.get(op)
     if handler is None:
-        # Unknown op with all-const inputs we can't fold: alias through if
-        # unary and shape-preserving is a wrong guess — drop with a log
-        # (downstream consumers will then be dropped too).
         ctx.log(f"skipping unsupported op {op} ({n.name})")
         return
-    handler(ctx, n)
+    try:
+        handler(ctx, n)
+    except KeyError as e:
+        # producer of an input was itself skipped — propagate the skip
+        # (the reference compiler does the same silently; we log)
+        ctx.log(f"skipping {op} ({n.name}): missing dep {e}")
 
 
 # -- handlers ----------------------------------------------------------------
@@ -205,6 +207,9 @@ def _h_conv(ctx: _Ctx, n: OP.NodeProto) -> None:
         return
     b = ctx.const_of(n.inputs[2]) if len(n.inputs) > 2 else None
     xs = ctx.shape_of(x)
+    if len(xs) == 3:       # Conv1D: [N, C, L] kept in ONNX layout
+        _h_conv1d(ctx, n, x, w, b, xs)
+        return
     nb, h, wd, cin = xs
     o, ig, kh, kw = w.shape
     groups = n.attr_i("group", 1)
@@ -239,6 +244,86 @@ def _h_conv(ctx: _Ctx, n: OP.NodeProto) -> None:
                    explicit_pad=(pt, pb, pl, pr), groups=groups,
                    activation="NONE"),
         name=n.name or n.outputs[0])
+
+
+def _h_conv1d(ctx: _Ctx, n: OP.NodeProto, x, w, b, xs) -> None:
+    """Conv1D (audio models): [N, C, L] in, OIW weights; lowered by the
+    executor via a channels-last matmul decomposition."""
+    nb, cin, ln = xs
+    o, ig, k = w.shape
+    strides = n.attr_ints("strides", (1,))
+    pads = n.attr_ints("pads", (0, 0))
+    dil = n.attr_ints("dilations", (1,))
+    eff_k = (k - 1) * dil[0] + 1
+    ol = (ln + pads[0] + pads[1] - eff_k) // strides[0] + 1
+    wname = ctx.add_const(f"{n.outputs[0]}__w", w)
+    ins = [x, wname]
+    if b is not None:
+        ins.append(ctx.add_const(f"{n.outputs[0]}__b", b))
+    out = ctx.add_act(n.outputs[0], (nb, o, ol), np.float32)
+    ctx.emit("CONV1D", ins, [out],
+             attrs=dict(kernel=k, stride=strides[0], dilation=dil[0],
+                        pads=tuple(pads), groups=n.attr_i("group", 1)),
+             name=n.name)
+
+
+def _h_convtranspose(ctx: _Ctx, n: OP.NodeProto) -> None:
+    """ConvTranspose1D (AEC decoder upsampling): [N, C, L] in,
+    weight [C_in, C_out/groups, K]."""
+    x = ctx.resolve(n.inputs[0])
+    w = ctx.const_of(n.inputs[1])
+    if w is None:
+        ctx.log(f"ConvTranspose {n.name}: non-const weights unsupported")
+        return
+    b = ctx.const_of(n.inputs[2]) if len(n.inputs) > 2 else None
+    xs = ctx.shape_of(x)
+    if len(xs) != 3:
+        ctx.log(f"ConvTranspose {n.name}: only 1-D supported, skipping")
+        return
+    nb, cin, ln = xs
+    _, og, k = w.shape
+    strides = n.attr_ints("strides", (1,))
+    pads = n.attr_ints("pads", (0, 0))
+    opad = n.attr_ints("output_padding", (0,))
+    ol = (ln - 1) * strides[0] + k - pads[0] - pads[1] + opad[0]
+    wname = ctx.add_const(f"{n.outputs[0]}__w", w)
+    ins = [x, wname]
+    if b is not None:
+        ins.append(ctx.add_const(f"{n.outputs[0]}__b", b))
+    out = ctx.add_act(n.outputs[0], (nb, og * n.attr_i("group", 1), ol),
+                      np.float32)
+    ctx.emit("CONV1D_TRANSPOSE", ins, [out],
+             attrs=dict(kernel=k, stride=strides[0], pads=tuple(pads),
+                        out_len=ol),
+             name=n.name)
+
+
+def _h_squeeze(ctx: _Ctx, n: OP.NodeProto) -> None:
+    x = ctx.resolve(n.inputs[0])
+    cx = ctx.const_of(n.inputs[0])
+    axes = list(n.attr_ints("axes", ()))
+    if not axes and len(n.inputs) > 1:
+        c = ctx.const_of(n.inputs[1])
+        if c is not None:
+            axes = [int(v) for v in c.reshape(-1)]
+    if cx is not None:
+        ctx.consts[n.outputs[0]] = (np.squeeze(cx, tuple(axes))
+                                    if axes else np.squeeze(cx))
+        ctx.add_const(n.outputs[0], ctx.consts[n.outputs[0]])
+        return
+    shape = list(ctx.shape_of(x))
+    rank = len(shape)
+    if n.op_type == "Unsqueeze":
+        for a in sorted(a if a >= 0 else a + rank + 1 for a in axes):
+            shape.insert(a, 1)
+    else:
+        axes = [a if a >= 0 else a + rank for a in axes] or \
+            [i for i, d in enumerate(shape) if d == 1]
+        shape = [d for i, d in enumerate(shape) if i not in axes]
+    out = ctx.add_act(n.outputs[0], tuple(shape), ctx.dtype_of(x),
+                      ctx.scales.get(x, 1.0))
+    ctx.emit("RESHAPE", [x], [out],
+             attrs=dict(new_shape=tuple(shape)), name=n.name)
 
 
 def _h_pool(ctx: _Ctx, n: OP.NodeProto) -> None:
@@ -664,8 +749,45 @@ def _h_qdq(ctx: _Ctx, n: OP.NodeProto) -> None:
         ctx._pending_out_scale[r] = scale
 
 
+def _h_gru(ctx: _Ctx, n: OP.NodeProto) -> None:
+    """ONNX GRU -> IR GRU node (z,r,h gate order, linear_before_reset
+    attr; executed by the engine via lax.scan). X layout 0: [T, B, C]."""
+    x = ctx.resolve(n.inputs[0])
+    w = ctx.const_of(n.inputs[1])   # [D, 3H, C]
+    r = ctx.const_of(n.inputs[2])   # [D, 3H, H]
+    b = ctx.const_of(n.inputs[3]) if len(n.inputs) > 3 and n.inputs[3] \
+        else None                   # [D, 6H]
+    if w is None or r is None:
+        ctx.log(f"GRU {n.name}: non-const weights unsupported")
+        return
+    hidden = n.attr_i("hidden_size", r.shape[-1])
+    direction = n.attr_s("direction", "forward")
+    ndir = 2 if direction == "bidirectional" else 1
+    lbr = n.attr_i("linear_before_reset", 0)
+    shape = ctx.shape_of(x)         # [T, B, C] (layout 0)
+    t, bsz = shape[0], shape[1]
+    wn = ctx.add_const(f"{n.outputs[0]}__w", w.astype(np.float32))
+    rn = ctx.add_const(f"{n.outputs[0]}__r", r.astype(np.float32))
+    ins = [x, wn, rn]
+    if b is not None:
+        ins.append(ctx.add_const(f"{n.outputs[0]}__b", b.astype(np.float32)))
+    y = ctx.add_act(n.outputs[0], (t, ndir, bsz, hidden), np.float32)
+    outs = [y]
+    if len(n.outputs) > 1 and n.outputs[1]:
+        yh = ctx.add_act(n.outputs[1], (ndir, bsz, hidden), np.float32)
+        outs.append(yh)
+    ctx.emit("GRU", ins, outs,
+             attrs=dict(hidden_size=hidden, direction=direction,
+                        linear_before_reset=lbr),
+             name=n.name)
+
+
 _HANDLERS = {
     "Conv": _h_conv,
+    "ConvTranspose": _h_convtranspose,
+    "Squeeze": _h_squeeze,
+    "Unsqueeze": _h_squeeze,
+    "GRU": _h_gru,
     "MaxPool": _h_pool,
     "AveragePool": _h_pool,
     "GlobalAveragePool": _h_gap,

@@ -195,12 +195,12 @@ def parse_attribute(buf: memoryview) -> Attribute:
             a.s = bytes(v)
         elif fnum == 5 and wt == 2:
             a.t = parse_tensor(v)
-        elif fnum == 6:
+        elif fnum == 7:   # floats (6 is the subgraph field)
             if wt == 5:
                 floats.append(struct.unpack("<f", struct.pack("<I", v))[0])
             else:
                 floats.extend(np.frombuffer(v, "<f4").tolist())
-        elif fnum == 7:
+        elif fnum == 8:   # ints
             if wt == 0:
                 ints.append(_signed(v))
             else:

@@ -260,14 +260,25 @@ def nms_fixed(
         iou = jnp.where(same, iou, 0.0)
 
     overlap = iou > iou_thresh
+    # Greedy suppression as a fixpoint: keep[j] iff no kept higher-scored
+    # i overlaps j. Iterating the whole [K,K] relation converges to the
+    # exact greedy solution in <= suppression-chain-depth steps (typically
+    # <5) — a handful of cheap vector ops instead of the reference's K
+    # sequential rounds (mars_yolo_test.c:107-130).
+    idx = jnp.arange(k)
+    up = overlap & (idx[:, None] < idx[None, :])   # i (higher) suppresses j
 
-    def body(i, keep):
-        # row i suppresses lower-scored (j > i) overlapping boxes,
-        # but only if i itself survived.
-        row = overlap[i] & (jnp.arange(k) > i) & keep[i]
-        return keep & ~row
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < k)
 
-    keep = jax.lax.fori_loop(0, k, body, jnp.ones((k,), bool))
+    def body(state):
+        keep, _, it = state
+        new = ~jnp.any(up & keep[:, None], axis=0)
+        return new, jnp.any(new != keep), it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.ones((k,), bool), jnp.array(True), 0))
     valid = keep & (top_scores > 0.0)
     if k < max_dets:  # pad to the fixed output size
         pad = max_dets - k

@@ -183,6 +183,10 @@ def conv2d_f32(
         out = out + bias.astype(jnp.float32)
     if relu:
         out = jnp.maximum(out, 0.0)
+    # bf16 serving keeps activations bf16 end-to-end (halves HBM traffic);
+    # f32 parity path stays f32.
+    if compute_dtype == jnp.bfloat16:
+        return out.astype(jnp.bfloat16)
     return out.astype(jnp.float32)
 
 
@@ -425,7 +429,7 @@ def sigmoid(
         os = float(out_scale) if out_scale > 0 else 1.0
         q = round_to_int(y / jnp.float32(os), RoundMode.PLUS_HALF_TRUNC)
         return clamp_i8(q)
-    return jax.nn.sigmoid(x.astype(jnp.float32))
+    return jax.nn.sigmoid(x)
 
 
 def silu(
@@ -444,8 +448,8 @@ def silu(
     requantizes once — faster, ≤1 quantum difference.
     """
     if not jnp.issubdtype(x.dtype, jnp.integer):
-        xf = x.astype(jnp.float32)
-        return xf * jax.nn.sigmoid(xf)
+        # compute in the activation dtype (bf16 stays bf16 on the VPU)
+        return x * jax.nn.sigmoid(x)
     if fuse:
         xf = x.astype(jnp.float32) * jnp.float32(in_scale)
         y = xf * jax.nn.sigmoid(xf)

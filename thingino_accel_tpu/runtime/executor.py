@@ -334,6 +334,51 @@ def _lower_node(
                 RoundMode.PLUS_HALF_TRUNC))
         env[out_name] = out
 
+    elif op == "GRU":
+        _lower_gru(node, env)
+
+    elif op == "CONV1D":
+        # [N, C, L] x OIW -> [N, O, L']; channels-last dot decomposition
+        x = env[node.inputs[0]].astype(jnp.float32)
+        w = env[node.inputs[1]].astype(jnp.float32)   # [O, I, K]
+        bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
+        k, s, d = a["kernel"], a["stride"], a.get("dilation", 1)
+        p0, p1 = a.get("pads", (0, 0))
+        xl = jnp.moveaxis(x, 1, 2)                    # [N, L, C]
+        xl = jnp.pad(xl, ((0, 0), (p0, p1), (0, 0)))
+        ol = out_t.shape[2]
+        acc = None
+        for dk in range(k):
+            off = dk * d
+            sl = jax.lax.slice(
+                xl, (0, off, 0),
+                (xl.shape[0], off + (ol - 1) * s + 1, xl.shape[2]),
+                (1, s, 1))
+            part = jnp.einsum("nlc,oc->nlo", sl, w[:, :, dk])
+            acc = part if acc is None else acc + part
+        if bias is not None:
+            acc = acc + bias.astype(jnp.float32)
+        env[out_name] = jnp.moveaxis(acc, 2, 1)       # [N, O, L']
+
+    elif op == "CONV1D_TRANSPOSE":
+        x = env[node.inputs[0]].astype(jnp.float32)   # [N, C, L]
+        w = env[node.inputs[1]].astype(jnp.float32)   # [C_in, O, K]
+        bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
+        k, s = a["kernel"], a["stride"]
+        p0, p1 = a.get("pads", (0, 0))
+        xl = jnp.moveaxis(x, 1, 2)                    # [N, L, C]
+        # ONNX ConvTranspose == zero-stuffed conv with the flipped kernel;
+        # rhs here is [K, I=C_in, O=C_out] with W flipped.
+        w_k = jnp.transpose(w[:, :, ::-1], (2, 0, 1))
+        out = jax.lax.conv_transpose(
+            xl, w_k,
+            strides=(s,), padding=((k - 1 - p0, k - 1 - p1),),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        out = out[:, :out_t.shape[2], :]
+        env[out_name] = jnp.moveaxis(out, 2, 1)
+
     elif op == "CLIP":
         x = env[node.inputs[0]]
         lo = a.get("min")
@@ -367,6 +412,63 @@ def _lower_node(
 
     else:
         raise NotImplementedError(f"op {op!r} not supported by executor")
+
+
+def _lower_gru(node: Node, env: Dict[str, jax.Array]) -> None:
+    """ONNX-semantics GRU (gate order z,r,h; linear_before_reset) over
+    layout-0 input [T, B, C], via lax.scan. The audio-model recurrence
+    (the reference's .mgk GRU layers) runs inside the same jitted graph.
+    """
+    a = node.attrs
+    x = env[node.inputs[0]].astype(jnp.float32)     # [T, B, C]
+    w = env[node.inputs[1]].astype(jnp.float32)     # [D, 3H, C]
+    r = env[node.inputs[2]].astype(jnp.float32)     # [D, 3H, H]
+    b = env[node.inputs[3]].astype(jnp.float32) if len(node.inputs) > 3 \
+        else None                                   # [D, 6H]
+    hs = a["hidden_size"]
+    lbr = bool(a.get("linear_before_reset", 0))
+    direction = a.get("direction", "forward")
+    dirs = []
+    ndir = w.shape[0]
+    for d in range(ndir):
+        wb = b[d] if b is not None else jnp.zeros((6 * hs,), jnp.float32)
+        dirs.append((w[d].T, r[d].T, wb[:3 * hs], wb[3 * hs:]))
+
+    t, bsz, _ = x.shape
+
+    def run_dir(wT, rT, wbi, rbi, reverse):
+        def step(h, x_t):
+            gi = x_t @ wT + wbi                      # [B, 3H] (z, r, h)
+            gz, gr, gh = (gi[:, :hs], gi[:, hs:2 * hs], gi[:, 2 * hs:])
+            hz = h @ rT[:, :hs] + rbi[:hs]
+            hrr = h @ rT[:, hs:2 * hs] + rbi[hs:2 * hs]
+            z = jax.nn.sigmoid(gz + hz)
+            rr = jax.nn.sigmoid(gr + hrr)
+            if lbr:
+                # reset after the recurrent matmul (torch convention)
+                hh = h @ rT[:, 2 * hs:] + rbi[2 * hs:]
+                n_ = jnp.tanh(gh + rr * hh)
+            else:
+                # ONNX default: reset gate applied to h before Rh
+                n_ = jnp.tanh(gh + (rr * h) @ rT[:, 2 * hs:]
+                              + rbi[2 * hs:])
+            h2 = (1.0 - z) * n_ + z * h
+            return h2, h2
+        h0 = jnp.zeros((bsz, hs), jnp.float32)
+        hT, ys = jax.lax.scan(step, h0, x, reverse=reverse)
+        return ys, hT
+
+    outs = []
+    finals = []
+    for d, (wT, rT, wbi, rbi) in enumerate(dirs):
+        rev = (direction == "reverse") or (d == 1)
+        ys, hT = run_dir(wT, rT, wbi, rbi, rev)
+        outs.append(ys)
+        finals.append(hT)
+    y = jnp.stack(outs, axis=1)          # [T, D, B, H]
+    env[node.outputs[0]] = y
+    if len(node.outputs) > 1:
+        env[node.outputs[1]] = jnp.stack(finals, axis=0)
 
 
 def _pool_pads(a: Dict[str, Any]) -> Tuple[Tuple[int, int], Tuple[int, int]]:
