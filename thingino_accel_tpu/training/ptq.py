@@ -1,0 +1,144 @@
+"""Post-training quantization: f32 graph + calibration data -> int8 graph.
+
+The reference's quantization pipeline is offline and external:
+``scripts/quantize_onnx.py`` runs onnxruntime static QDQ quantization
+with an image-folder calibration reader, then the compiler extracts the
+QDQ scales (``mars-compiler/src/main.rs:137-217``). Here the whole loop
+is in-framework: run the f32 engine over calibration batches, observe
+per-tensor activation ranges, pick symmetric int8 scales, quantize
+weights, and rewrite the IR to an int8 graph the exact integer engine
+executes. The output round-trips through `.mars` (mars_export).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thingino_accel_tpu.ir.graph import Graph, Node, QuantInfo, TensorInfo
+
+
+@dataclasses.dataclass
+class CalibStats:
+    """Per-tensor absolute-max observer (symmetric quantization, matching
+    the reference compiler's weight rule absmax/127)."""
+
+    absmax: Dict[str, float]
+
+    def scale(self, name: str, default: float = 1.0) -> float:
+        am = self.absmax.get(name, 0.0)
+        if am <= 0:
+            return default
+        return float(np.float32(am / 127.0))
+
+
+def calibrate(
+    graph: Graph,
+    batches: Iterable[Dict[str, np.ndarray]],
+    percentile: Optional[float] = 99.99,
+) -> CalibStats:
+    """Run the f32 graph over calibration batches, recording activation
+    ranges for every tensor (optionally a high percentile instead of the
+    raw max, which is robust to outliers)."""
+    from thingino_accel_tpu.runtime.executor import (
+        ExecOptions, build_executor, prepare_params,
+    )
+    # instrument: make every activation a graph output
+    all_acts = [n for n, t in graph.tensors.items() if not t.is_const]
+    probe = Graph(nodes=graph.nodes, tensors=graph.tensors,
+                  inputs=graph.inputs, outputs=all_acts, name=graph.name)
+    body = build_executor(probe, ExecOptions(mode="full",
+                                             compute_dtype=jnp.float32,
+                                             fuse_silu=False))
+    params = {k: jnp.asarray(v) for k, v in prepare_params(graph).items()}
+    fn = jax.jit(body)
+
+    absmax: Dict[str, float] = {}
+    for batch in batches:
+        feed = {k: jnp.asarray(v, jnp.float32) for k, v in batch.items()}
+        outs = fn(params, feed)
+        for name, v in outs.items():
+            a = np.abs(np.asarray(v, np.float32))
+            if percentile is not None and a.size > 1000:
+                m = float(np.percentile(a, percentile))
+            else:
+                m = float(a.max()) if a.size else 0.0
+            absmax[name] = max(absmax.get(name, 0.0), m)
+    return CalibStats(absmax=absmax)
+
+
+def quantize_graph(
+    graph: Graph,
+    stats: CalibStats,
+    weight_percentile: Optional[float] = None,
+) -> Graph:
+    """Rewrite an f32 IR graph as int8: weights absmax/127 per tensor,
+    activations from calibration stats, biases to int32 accumulator
+    units. The result runs on the exact integer engine and exports to
+    `.mars` with well-formed descriptors."""
+    tensors: Dict[str, TensorInfo] = {}
+    conv_nodes = [n for n in graph.nodes
+                  if n.op in ("CONV2D", "DEPTHWISE_CONV2D", "FC")]
+    conv_w = {n.inputs[1]: n for n in conv_nodes if len(n.inputs) > 1}
+    conv_b = {n.inputs[2]: n for n in conv_nodes if len(n.inputs) > 2}
+
+    w_scales: Dict[str, float] = {}
+    for name, t in graph.tensors.items():
+        nt = TensorInfo(name=t.name, shape=t.shape, dtype=t.dtype,
+                        quant=t.quant, data=t.data,
+                        source_format=t.source_format)
+        if t.is_const and name in conv_w and np.issubdtype(
+                np.asarray(t.data).dtype, np.floating):
+            data = np.asarray(t.data, np.float32)
+            am = float(np.abs(data).max()) or 1e-8
+            s = np.float32(am / 127.0)
+            nt.data = np.clip(np.round(data / s), -128, 127).astype(np.int8)
+            nt.dtype = nt.data.dtype
+            nt.quant = QuantInfo(scale=float(s))
+            w_scales[name] = float(s)
+        tensors[name] = nt
+
+    # biases after weight scales are known
+    for name, node in conv_b.items():
+        t = tensors.get(name)
+        if t is None or t.data is None or not np.issubdtype(
+                np.asarray(t.data).dtype, np.floating):
+            continue
+        x_name, w_name = node.inputs[0], node.inputs[1]
+        xs = stats.scale(x_name)
+        ws = w_scales.get(w_name, 1.0)
+        denom = np.float32(xs) * np.float32(ws) or np.float32(1.0)
+        t.data = np.clip(np.round(np.asarray(t.data, np.float64) / denom),
+                         np.iinfo(np.int32).min, np.iinfo(np.int32).max
+                         ).astype(np.int32)
+        t.dtype = t.data.dtype
+
+    # activations -> int8 with calibrated scales
+    for name, t in tensors.items():
+        if t.is_const:
+            continue
+        if np.issubdtype(np.dtype(t.dtype), np.floating):
+            t.dtype = np.dtype(np.int8)
+            t.quant = QuantInfo(scale=stats.scale(name))
+
+    g = Graph(nodes=[Node(op=n.op, inputs=list(n.inputs),
+                          outputs=list(n.outputs), attrs=dict(n.attrs),
+                          name=n.name) for n in graph.nodes],
+              tensors=tensors, inputs=list(graph.inputs),
+              outputs=list(graph.outputs), name=f"{graph.name}_int8")
+    g.validate()
+    return g
+
+
+def quantize_model(
+    graph: Graph,
+    batches: Iterable[Dict[str, np.ndarray]],
+    percentile: Optional[float] = 99.99,
+) -> Graph:
+    """One-call PTQ: calibrate + quantize."""
+    stats = calibrate(graph, batches, percentile)
+    return quantize_graph(graph, stats)

@@ -1,0 +1,53 @@
+"""Central configuration registry.
+
+The reference's config surface is compile-time macros (USE_MXU), env
+vars (VENUS_AIP_SMOKE), and CLI flags (SURVEY §5). Here everything is
+runtime: EngineOptions for per-engine knobs, and this env registry for
+process-level defaults. All variables are prefixed ``TAT_``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict
+
+_REGISTRY: Dict[str, tuple] = {}
+
+
+def _register(name: str, default: Any, parse: Callable[[str], Any],
+              doc: str) -> None:
+    _REGISTRY[name] = (default, parse, doc)
+
+
+def get(name: str) -> Any:
+    default, parse, _ = _REGISTRY[name]
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return parse(raw)
+    except (TypeError, ValueError):
+        return default
+
+
+def describe() -> str:
+    lines = ["thingino-accel-tpu environment configuration:"]
+    for name, (default, _, doc) in sorted(_REGISTRY.items()):
+        cur = get(name)
+        mark = "*" if cur != default else " "
+        lines.append(f" {mark} {name:<22} = {cur!r:<12} {doc}")
+    return "\n".join(lines)
+
+
+_bool = lambda s: s not in ("0", "false", "no", "")
+
+_register("TAT_CONV_BACKEND", "xla", str,
+          "int8 conv backend: xla | pallas (the USE_MXU analog)")
+_register("TAT_BENCH_BATCH", 0, int, "bench.py batch override")
+_register("TAT_BENCH_ITERS", 10, int, "bench.py timed iterations")
+_register("TAT_BENCH_MODEL", "s", str, "bench.py yolov5 size letter")
+_register("TAT_BENCH_EXACT", False, _bool,
+          "bench the exact int8 tier instead of fast bf16")
+_register("TAT_TPU_TESTS", False, _bool,
+          "let the test suite target real TPU hardware")
+_register("TAT_LOG", "warn", str, "log level: debug|info|warn|error")
