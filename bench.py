@@ -43,11 +43,10 @@ def build_pipeline(batch: int, size: str):
         lb = yolo.letterbox_uint8(frames_u8, (640, 640))
         x = yolo.quantize_input_int8(lb)
         feats = body(params, {in_name: x})
-        f32 = [feats[k].astype(jnp.float32) * jnp.float32(s)
-               for k, s in zip(out_names, out_scales)]
-        pred = yolo.decode_heads(f32)
-        boxes, scores, classes = yolo.parse_predictions(
-            pred, 1.0, already_sigmoid=True)
+        heads = [feats[k] if s == 1.0
+                 else feats[k].astype(jnp.float32) * jnp.float32(s)
+                 for k, s in zip(out_names, out_scales)]
+        boxes, scores, classes = yolo.decode_and_parse(heads)
         dets = yolo.nms_batched(boxes, scores, classes, max_dets=100)
         return dets.boxes, dets.scores, dets.classes, dets.valid
 

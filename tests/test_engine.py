@@ -124,3 +124,27 @@ def test_silu_fusion_reduces_nodes():
     n_silu = sum(1 for n in fused if n.op == "SILU_FUSED")
     assert n_silu >= 50  # 60 sigmoid+mul pairs; a few MULs pair differently
     assert len(fused) < len(g.nodes) - 40
+
+
+def test_zoo_nanodet_depthwise_runs():
+    """NanoDet-class depthwise detector through both dtypes (exercises
+    the DEPTHWISE_CONV2D path the reference runtime left unimplemented)."""
+    for dt in ("float32", "int8"):
+        g = zoo.build_nanodet(zoo.ZooConfig(dtype=dt, in_hw=(64, 64)))
+        eng = Engine(g)
+        x = np.zeros((1, 64, 64, 3),
+                     np.int8 if dt == "int8" else np.float32)
+        out = eng.run_np(x)
+        assert sorted(v.shape for v in out.values()) == [
+            (1, 2, 2, 84), (1, 4, 4, 84), (1, 8, 8, 84)]
+
+
+def test_engine_trace_returns_all_activations():
+    g = zoo.build_tiny(zoo.ZooConfig(dtype="int8", in_hw=(32, 32)),
+                       in_hw=(32, 32))
+    eng = Engine(g)
+    acts = eng.trace(np.zeros((1, 32, 32, 3), np.int8))
+    # input + 3 conv outputs
+    assert len(acts) == 4
+    for v in acts.values():
+        assert v.dtype == np.int8

@@ -93,6 +93,22 @@ def test_parse_predictions_matches_reference(rng):
         np.testing.assert_allclose(boxes[0, i], p[0:4], rtol=1e-5)
 
 
+def test_decode_and_parse_matches_two_step(rng):
+    """Fused decode_and_parse == decode_heads + parse_predictions."""
+    feats = [jnp.asarray(rng.normal(size=(2, 4 // (2 ** i), 4 // (2 ** i),
+                                          255)).astype(np.float32) * 2)
+             for i in range(2)]
+    strides = (8, 16)
+    pred = yolo.decode_heads(feats, strides=strides)
+    b1, s1, c1 = yolo.parse_predictions(pred, 1.0, already_sigmoid=True)
+    b2, s2, c2 = yolo.decode_and_parse(feats, strides=strides)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
 def test_letterbox_shapes_and_fill():
     frames = np.full((2, 480, 640, 3), 200, np.uint8)
     out = np.asarray(yolo.letterbox_uint8(jnp.asarray(frames), (640, 640)))

@@ -164,6 +164,47 @@ def decode_heads(
     return jnp.concatenate(outs, axis=1)
 
 
+def decode_and_parse(
+    feats: Sequence[jax.Array],
+    anchors: np.ndarray = YOLOV5_ANCHORS,
+    strides: Sequence[int] = YOLOV5_STRIDES,
+    num_classes: int = 80,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused head decode + parse: raw logit feature maps ->
+    (boxes_xywh [B,N,4], conf [B,N], classes [B,N]).
+
+    Equivalent to decode_heads + parse_predictions(already_sigmoid=True)
+    but computes sigmoid only where needed: xy/wh/obj channels, and a
+    single sigmoid of the max class logit (sigmoid is monotonic, so
+    max(sigmoid(x)) == sigmoid(max(x))) — skipping the elementwise
+    sigmoid over all `num_classes` channels of every anchor, the bulk of
+    the postprocess HBM traffic.
+    """
+    all_boxes, all_conf, all_cls = [], [], []
+    for i, feat in enumerate(feats):
+        b, h, w, ch = feat.shape
+        a = anchors.shape[1]
+        x = feat.reshape(b, h, w, a, 5 + num_classes)
+        sig5 = jax.nn.sigmoid(x[..., 0:5].astype(jnp.float32))
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]
+        xy = (sig5[..., 0:2] * 2.0 - 0.5 + grid) * jnp.float32(strides[i])
+        wh = jnp.square(sig5[..., 2:4] * 2.0) * \
+            jnp.asarray(anchors[i], jnp.float32)[None, None, :, :]
+        obj = sig5[..., 4]
+        cls_logits = x[..., 5:]
+        best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
+        conf = obj * jax.nn.sigmoid(best_logit)
+        cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        n = h * w * a
+        all_boxes.append(jnp.concatenate([xy, wh], -1).reshape(b, n, 4))
+        all_conf.append(conf.reshape(b, n))
+        all_cls.append(cls.reshape(b, n))
+    return (jnp.concatenate(all_boxes, 1), jnp.concatenate(all_conf, 1),
+            jnp.concatenate(all_cls, 1))
+
+
 def parse_predictions(
     pred: jax.Array,              # [B, N, 5+NC] int8 or f32
     scale: float = 1.0,

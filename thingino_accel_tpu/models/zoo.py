@@ -259,6 +259,57 @@ def build_yolov5(
     return b.finish([h3, h4, h5])
 
 
+def _dw_separable(b: GraphBuilder, x: str, c_out: int, s: int = 1,
+                  k: int = 3) -> str:
+    """Depthwise-separable block (ShuffleNet/NanoDet style): depthwise
+    KxK + pointwise 1x1."""
+    c_in = b.graph.tensors[x].shape[3]
+    y = b.conv(x, c_in, k, s, act="LEAKY_RELU", groups=c_in)
+    return b.conv(y, c_out, 1, act="LEAKY_RELU")
+
+
+def build_nanodet(
+    cfg: Optional[ZooConfig] = None,
+    batch: int = 1,
+    num_classes: int = 80,
+) -> Graph:
+    """NanoDet-class depthwise detector (the `nanodet_320.mars` config of
+    BASELINE.json, not bundled in the reference snapshot). Exercises the
+    DEPTHWISE_CONV2D path end-to-end at detector scale — the op the
+    reference runtime declares but never implemented
+    (``src/mars/mars_runtime.c:1168-1170``).
+
+    Structure: ShuffleNet-ish depthwise backbone (stride 4/8/16/32),
+    lightweight PAN with depthwise blocks, per-level heads emitting
+    [B, H, W, num_classes + 4] (GFL-style box regression simplified to
+    plain ltrb)."""
+    cfg = cfg or ZooConfig(in_hw=(320, 320))
+    b = GraphBuilder(f"nanodet_{cfg.dtype}", cfg)
+    h, w = cfg.in_hw
+    x = b.input("images", (batch, h, w, 3))
+    y = b.conv(x, 24, 3, 2, act="LEAKY_RELU")      # /2
+    y = _dw_separable(b, y, 48, s=2)               # /4
+    c3 = _dw_separable(b, y, 96, s=2)              # /8
+    c3 = _dw_separable(b, c3, 96)
+    c4 = _dw_separable(b, c3, 192, s=2)            # /16
+    c4 = _dw_separable(b, c4, 192)
+    c5 = _dw_separable(b, c4, 384, s=2)            # /32
+    c5 = _dw_separable(b, c5, 384)
+    # PAN-lite
+    p5 = b.conv(c5, 96, 1, act="LEAKY_RELU")
+    p4 = b.conv(c4, 96, 1, act="LEAKY_RELU")
+    p3 = b.conv(c3, 96, 1, act="LEAKY_RELU")
+    u5 = b.upsample(p5)
+    p4 = b.add(p4, u5)
+    u4 = b.upsample(p4)
+    p3 = b.add(p3, u4)
+    no = num_classes + 4
+    h3 = b.conv(_dw_separable(b, p3, 96), no, 1, act="NONE")
+    h4 = b.conv(_dw_separable(b, p4, 96), no, 1, act="NONE")
+    h5 = b.conv(_dw_separable(b, p5, 96), no, 1, act="NONE")
+    return b.finish([h3, h4, h5])
+
+
 def build_tiny(
     cfg: Optional[ZooConfig] = None, batch: int = 1,
     in_hw: Tuple[int, int] = (160, 160),

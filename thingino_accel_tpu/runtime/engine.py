@@ -152,6 +152,30 @@ class Engine:
     def run_np(self, *args: Any, **inputs: Any) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in self.run(*args, **inputs).items()}
 
+    def trace(self, *args: Any, **inputs: Any) -> Dict[str, np.ndarray]:
+        """Run inference returning EVERY intermediate activation.
+
+        The debugging analog of the reference's layer-graph side-car
+        recording + per-layer printf narration (``src/venus/magik_model.cpp``
+        g_parsed_layers, SURVEY §5 observability): one call, all tensors,
+        for layer-by-layer comparison against another implementation.
+        """
+        all_acts = [n for n, t in self.graph.tensors.items()
+                    if not t.is_const]
+        probe = Graph(nodes=self.graph.nodes, tensors=self.graph.tensors,
+                      inputs=self.graph.inputs, outputs=all_acts,
+                      name=self.graph.name)
+        body = build_executor(probe, self.options)
+        feed: Dict[str, Any] = {}
+        for name, arr in zip(self.graph.inputs, args):
+            feed[name] = arr
+        feed.update(inputs)
+        feed = {k: jnp.asarray(self._to_nhwc(np.asarray(v)),
+                               dtype=self.graph.tensors[k].dtype)
+                for k, v in feed.items()}
+        out = jax.jit(body)(self.params, feed)
+        return {k: np.asarray(v) for k, v in out.items()}
+
     # -- reporting ----------------------------------------------------------
 
     def summary(self) -> str:
