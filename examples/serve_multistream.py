@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Batched multi-stream serving demo: S camera streams through one
+engine with double-buffered feeding, fps + latency report.
+
+The scale-out story the single-process reference can't express
+(SURVEY §2.7): one device, many streams, one jitted program.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    from thingino_accel_tpu.models import zoo
+    from thingino_accel_tpu.runtime import Engine, EngineOptions
+    from thingino_accel_tpu.runtime.serving import (
+        MultiStreamBatcher, StreamServer,
+    )
+
+    streams, frames_each, batch = 4, 8, 8
+    hw = (96, 96)
+    print(f"[1] Engine: yolov5n int8 (fast tier) @ {hw}")
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=hw))
+    eng = Engine(g, EngineOptions(precision="fast"))
+    in_name = g.inputs[0]
+    body, params = eng._fn, eng.params
+    fn = jax.jit(lambda x: body(params, {in_name: x}))
+
+    print(f"[2] {streams} streams x {frames_each} frames, batch {batch}")
+    rng = np.random.default_rng(0)
+
+    def stream(_):
+        for _ in range(frames_each):
+            yield rng.integers(-128, 128, (*hw, 3), dtype=np.int8)
+
+    batcher = MultiStreamBatcher(streams, batch)
+    server = StreamServer(fn, depth=2)
+    n_out = sum(1 for _ in server.run(
+        batcher.batches([stream(s) for s in range(streams)])))
+
+    print(f"[3] {n_out} batches served")
+    print("    " + server.stats.summary())
+    ok = server.stats.frames >= streams * frames_each
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

