@@ -77,7 +77,7 @@ def main() -> None:
     if os.environ.get("TAT_BENCH_BATCH"):
         batches = [int(os.environ["TAT_BENCH_BATCH"])]
     else:
-        batches = [64]
+        batches = [128]
 
     best_fps, best_batch = 0.0, 0
     for b in batches:
