@@ -148,3 +148,21 @@ def test_engine_trace_returns_all_activations():
     assert len(acts) == 4
     for v in acts.values():
         assert v.dtype == np.int8
+
+
+def test_yolov5n_f32_backbone_runs():
+    """The bundled f32 yolov5n through its detect heads (fp16-stored
+    weights widened at import)."""
+    from thingino_accel_tpu.formats import mars as MM
+    from thingino_accel_tpu.models.yolo import find_detect_outputs
+    g = from_mars(MM.read_mars(reference_model("yolov5n.mars")))
+    det = find_detect_outputs(g)
+    assert len(det) == 3
+    eng = Engine(g.with_outputs(det))
+    x = np.random.default_rng(0).normal(
+        scale=0.5, size=(1, 640, 640, 3)).astype(np.float32)
+    out = eng.run_np(x)
+    for v in out.values():
+        assert v.dtype == np.float32
+        assert np.isfinite(v).all()
+        assert float(np.abs(v).mean()) > 0
