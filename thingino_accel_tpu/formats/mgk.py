@@ -218,16 +218,47 @@ def unpack_gru_blocks(blob: bytes, bidirectional: bool) -> Dict[str, np.ndarray]
     return out
 
 
+# Known weight-region offsets for the bundled AEC model, from the
+# reference's reverse-engineering notes (``mgk-decompiler/MGK_FORMAT.md``
+# "Known Layer Offsets"). Sizes in bytes.
+AEC_WEIGHT_OFFSETS = {
+    "layer_46_gru_bidir": (0x00000, 12864),
+    "layer_63_feature": (0x03500, 448),
+    "layer_68_feature": (0x03900, 448),
+    "layer_35_feature": (0x03d00, 704),
+    "layer_73_feature": (0x04100, 448),
+    "main_conv_region": (0x04480, 55168),
+    "layer_44_feature": (0x11f00, 576),
+    "layer_58_feature": (0x12300, 576),
+    "layer_78_feature": (0x12700, 320),
+    "layer_4_feature": (0x12a00, 3648),
+    "layer_16_feature": (0x13b00, 2112),
+    "layer_2_feature": (0x14b00, 320),
+    "secondary_conv_region": (0x16d00, 41792),
+    "layer_20_feature": (0x21180, 832),
+    "layer_26_feature": (0x215c0, 832),
+    "layer_28_feature": (0x21a40, 1408),
+    "layer_37_gru": (0x220c0, 4096),
+    "layer_10_feature": (0x231c0, 2496),
+    "layer_32_feature": (0x23cc0, 768),
+    "layer_41_feature": (0x24100, 704),
+    "layer_8_feature": (0x24500, 1024),
+    "layer_14_feature": (0x24a00, 1024),
+    "layer_22_feature": (0x25140, 1772),
+}
+
+
 def extract_weight_table(
     elf: ElfFile, meta: MgkMetadata
 ) -> Dict[str, np.ndarray]:
-    """Best-effort weight segmentation of the appended blob.
+    """Weight segmentation of the appended blob.
 
     Boundaries follow the NNA block structure: conv weights are
     1024-byte-aligned NMHWSOIB2 regions, GRU regions are 4096/12864-byte
     block groups (``mgk-decompiler/src/weight_extractor.rs:421-531``
-    boundary detection). Returns named int8 arrays; precise layer
-    attribution requires the per-model offset table.
+    boundary detection). For the recognized AEC model the per-layer
+    offset table (``AEC_WEIGHT_OFFSETS``) attributes each region; GRU
+    regions are additionally decoded into their 32x32 gate matrices.
     """
     blob = elf.appended
     out: Dict[str, np.ndarray] = {}
@@ -237,6 +268,17 @@ def extract_weight_table(
         out["blocks_1024"] = (
             np.frombuffer(blob[:n_blocks * 1024], dtype=np.int8)
             .reshape(n_blocks, 1024))
+    if any(l.kind == "GRU" for l in meta.layers):
+        for name, (off, size) in AEC_WEIGHT_OFFSETS.items():
+            if off + size > len(blob):
+                continue
+            region = np.frombuffer(blob[off:off + size], dtype=np.int8)
+            out[name] = region.copy()
+            if "gru" in name:
+                gru = unpack_gru_blocks(blob[off:off + size],
+                                        bidirectional="bidir" in name)
+                for k, v in gru.items():
+                    out[f"{name}.{k}"] = v
     return out
 
 

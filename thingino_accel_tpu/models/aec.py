@@ -207,21 +207,41 @@ def try_attach_mgk_weights(
     GRU at 0x220c0, bidirectional at 0x0). Conv regions need per-layer
     attribution work; until then they keep their init values. int8 blocks
     are dequantized with a nominal scale."""
-    from thingino_accel_tpu.formats.mgk import unpack_gru_blocks
+    from thingino_accel_tpu.formats.mgk import (
+        AEC_WEIGHT_OFFSETS, unpack_gru_blocks,
+    )
     out = dict(params)
     scale = np.float32(1.0 / 64.0)
-    if len(weights_blob) >= 0x220c0 + 4096:
-        uni = unpack_gru_blocks(weights_blob[0x220c0:0x220c0 + 4096], False)
+
+    def fit(arr: np.ndarray, shape) -> np.ndarray:
+        tiled = np.tile(arr, (max(1, -(-shape[0] // arr.shape[0])),
+                              max(1, -(-shape[1] // arr.shape[1]))))
+        return tiled[:shape[0], :shape[1]]
+
+    off, size = AEC_WEIGHT_OFFSETS["layer_37_gru"]
+    if len(weights_blob) >= off + size:
+        uni = unpack_gru_blocks(weights_blob[off:off + size], False)
         w_ih = uni["w_ih"].astype(np.float32) * scale      # [64, 32]
         w_hh = uni["w_hh"].astype(np.float32) * scale
-        # NNA packs 64x32; torch GRU wants [C, 3H]: use the first C rows
-        c = out["gru1_w_ih"].shape[0]
-        h3 = out["gru1_w_ih"].shape[1]
-        tiled = np.tile(w_ih, (1, (h3 + 31) // 32))[:c, :h3]
-        out["gru1_w_ih"] = jnp.asarray(tiled)
-        tiled_hh = np.tile(w_hh, (1, (h3 + 31) // 32))[
-            :out["gru1_w_hh"].shape[0], :h3]
-        out["gru1_w_hh"] = jnp.asarray(tiled_hh)
+        out["gru1_w_ih"] = jnp.asarray(
+            fit(w_ih, out["gru1_w_ih"].shape))
+        out["gru1_w_hh"] = jnp.asarray(
+            fit(w_hh, out["gru1_w_hh"].shape))
+
+    off, size = AEC_WEIGHT_OFFSETS["layer_46_gru_bidir"]
+    if len(weights_blob) >= off + size:
+        bi = unpack_gru_blocks(weights_blob[off:off + size], True)
+        for d, pfx in (("fwd", "gru2f"), ("bwd", "gru2b")):
+            w_i = np.concatenate(
+                [bi[f"{d}_w_ir"], bi[f"{d}_w_iz"], bi[f"{d}_w_in"]],
+                axis=1).astype(np.float32) * scale        # [32, 96]
+            w_h = np.concatenate(
+                [bi[f"{d}_w_hr"], bi[f"{d}_w_hz"], bi[f"{d}_w_hn"]],
+                axis=1).astype(np.float32) * scale
+            out[f"{pfx}_w_ih"] = jnp.asarray(
+                fit(w_i, out[f"{pfx}_w_ih"].shape))
+            out[f"{pfx}_w_hh"] = jnp.asarray(
+                fit(w_h, out[f"{pfx}_w_hh"].shape))
     return out
 
 
