@@ -95,3 +95,46 @@ def test_export_int8_roundtrip():
     np.testing.assert_allclose(
         ints["w"].astype(np.float32) * scales["w"], w,
         atol=scales["w"] * 0.500001)
+
+
+def test_pipeline_split_and_run(mesh8):
+    """Stage-split inference across 4 devices matches single-device."""
+    from thingino_accel_tpu.parallel.pipeline import (
+        PipelinedEngine, split_graph,
+    )
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(64, 64))
+    g = zoo.build_yolov5("n", cfg)
+    stages = split_graph(g, 4)
+    assert len(stages) == 4
+    assert sum(len(s.nodes) for s in stages) == len(g.nodes)
+
+    eng = Engine(g)
+    x = np.random.default_rng(0).normal(
+        size=(2, 64, 64, 3)).astype(np.float32)
+    ref = eng.run_np(x)
+
+    pipe = PipelinedEngine(g, devices=jax.devices()[:4])
+    mbs = [{g.inputs[0]: jnp.asarray(x)}]
+    outs = list(pipe.run(iter(mbs)))
+    assert len(outs) == 1
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(outs[0][k]), ref[k],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_multiple_microbatches(mesh8):
+    from thingino_accel_tpu.parallel.pipeline import PipelinedEngine
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(32, 32))
+    g = zoo.build_tiny(cfg, in_hw=(32, 32))
+    pipe = PipelinedEngine(g, devices=jax.devices()[:2])
+    rng = np.random.default_rng(1)
+    xs = [rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+          for _ in range(5)]
+    eng = Engine(g)
+    outs = list(pipe.run({g.inputs[0]: jnp.asarray(x)} for x in xs))
+    assert len(outs) == 5
+    for x, o in zip(xs, outs):
+        ref = eng.run_np(x)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(o[k]), ref[k],
+                                       rtol=1e-4, atol=1e-4)
