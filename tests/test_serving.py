@@ -66,3 +66,18 @@ def test_serving_engine_with_zoo_model():
     outs = list(server.run(iter(batches)))
     assert len(outs) == 5
     assert server.stats.frames == 40
+
+
+def test_stream_server_isolates_bad_batch():
+    """A malformed batch doesn't kill the stream (SURVEY §5 failure
+    containment, serving-side)."""
+    fn = jax.jit(lambda x: x @ jnp.ones((8, 4), jnp.float32))
+    server = StreamServer(fn, depth=1)
+    batches = [np.ones((2, 8), np.float32),
+               np.ones((2, 5), np.float32),     # wrong shape -> error
+               np.ones((2, 8), np.float32)]
+    outs = [o for o in server.run(iter(batches))]
+    good = [o for o in outs if o is not None]
+    assert len(good) == 2
+    assert server.stats.errors == 1
+    assert server.stats.frames == 4

@@ -160,6 +160,36 @@ def cmd_decompile(args) -> int:
     return 0
 
 
+def cmd_gen_test(args) -> int:
+    """Generate a minimal single-conv test `.mars` (the
+    tools/mars_gen_test.py role)."""
+    from thingino_accel_tpu.formats import mars as M
+    rng = np.random.default_rng(args.seed)
+    h, w, cin, cout = args.height, args.width, args.channels, args.out_channels
+    weights = rng.integers(-128, 128, (cout, 3, 3, cin), dtype=np.int8)
+    bias = np.zeros((cout,), np.int32)
+    tensors = [
+        M.MarsTensor(0, "input", M.DType.INT8, M.Format.NHWC,
+                     (1, h, w, cin), scale=1.0),
+        M.MarsTensor(1, "conv1_weight", M.DType.INT8, M.Format.OHWI,
+                     (cout, 3, 3, cin), scale=0.01),
+        M.MarsTensor(2, "conv1_bias", M.DType.INT32, M.Format.D1, (cout,)),
+        M.MarsTensor(3, "output", M.DType.INT8, M.Format.NHWC,
+                     (1, h, w, cout), scale=1.0),
+    ]
+    layers = [M.MarsLayer(0, M.LayerType.CONV2D, (0,), (3,),
+                          M.ConvParams(kernel_h=3, kernel_w=3,
+                                       padding=M.Padding.SAME,
+                                       activation=M.Activation.RELU,
+                                       weight_tensor_id=1,
+                                       bias_tensor_id=2))]
+    model = M.build_mars(tensors, layers, [0], [3],
+                         {1: weights, 2: bias})
+    M.write_mars(model, args.output)
+    print(f"wrote {args.output}: 1 conv layer, {h}x{w}x{cin} -> {cout}ch")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
     bench.main()
@@ -203,6 +233,15 @@ def main(argv=None) -> int:
     s.add_argument("-i", "--input", required=True)
     s.add_argument("--extract-weights", metavar="DIR")
     s.set_defaults(fn=cmd_decompile)
+
+    s = sub.add_parser("gen-test", help="generate a test .mars model")
+    s.add_argument("-o", "--output", default="test_model.mars")
+    s.add_argument("--height", type=int, default=64)
+    s.add_argument("--width", type=int, default=64)
+    s.add_argument("--channels", type=int, default=3)
+    s.add_argument("--out-channels", type=int, default=16)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_gen_test)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)

@@ -26,6 +26,7 @@ class ServingStats:
 
     frames: int = 0
     batches: int = 0
+    errors: int = 0
     wall_s: float = 0.0
     batch_latencies_s: List[float] = dataclasses.field(default_factory=list)
 
@@ -68,8 +69,13 @@ class StreamServer:
         t_start = time.perf_counter()
         for batch in batches:
             t0 = time.perf_counter()
-            x = jax.device_put(batch)
-            out = self.fn(x)
+            try:
+                x = jax.device_put(batch)
+                out = self.fn(x)
+            except Exception:
+                self.stats.errors += 1
+                self.stats.batches += 1
+                continue
             inflight.append((out, t0, len(batch)))
             if len(inflight) >= self.depth:
                 yield self._drain_one(inflight)
@@ -78,8 +84,18 @@ class StreamServer:
         self.stats.wall_s += time.perf_counter() - t_start
 
     def _drain_one(self, inflight) -> Any:
+        """Materialize the oldest in-flight batch. A failed batch (bad
+        input, device error) is isolated: counted in ``stats.errors`` and
+        surfaced as None instead of killing the stream — the serving-side
+        fault containment the reference implements as SIGBUS handlers and
+        hardened shims (SURVEY §5 failure detection)."""
         out, t0, n = inflight.popleft()
-        out = jax.block_until_ready(out)
+        try:
+            out = jax.block_until_ready(out)
+        except Exception:
+            self.stats.errors += 1
+            self.stats.batches += 1
+            return None
         self.stats.batch_latencies_s.append(time.perf_counter() - t0)
         self.stats.frames += n
         self.stats.batches += 1
