@@ -20,6 +20,11 @@ import sys
 import time
 
 
+def _enable_compile_cache() -> None:
+    from thingino_accel_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+
 def build_pipeline(batch: int, size: str):
     import jax
     import jax.numpy as jnp
@@ -72,6 +77,7 @@ def measure(batch: int, size: str, iters: int) -> float:
 
 
 def main() -> None:
+    _enable_compile_cache()
     size = os.environ.get("TAT_BENCH_MODEL", "s")
     iters = int(os.environ.get("TAT_BENCH_ITERS", "10"))
     if os.environ.get("TAT_BENCH_BATCH"):
