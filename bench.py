@@ -79,7 +79,7 @@ def measure(batch: int, size: str, iters: int) -> float:
 def main() -> None:
     _enable_compile_cache()
     size = os.environ.get("TAT_BENCH_MODEL", "s")
-    iters = int(os.environ.get("TAT_BENCH_ITERS", "10"))
+    iters = int(os.environ.get("TAT_BENCH_ITERS", "30"))
     if os.environ.get("TAT_BENCH_BATCH"):
         batches = [int(os.environ["TAT_BENCH_BATCH"])]
     else:
