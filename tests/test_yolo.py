@@ -174,3 +174,30 @@ def test_e2e_pipeline_zoo_graph():
     dets = pipeline(jnp.asarray(frames))
     assert dets.boxes.shape == (2, 20, 4)
     assert dets.valid.dtype == bool
+
+
+def test_nv12_to_rgb(rng):
+    """NV12 conversion vs a numpy BT.601 oracle."""
+    h, w = 8, 8
+    nv12 = rng.integers(0, 256, (1, h * 3 // 2, w), dtype=np.uint8)
+    got = np.asarray(yolo.nv12_to_rgb(jnp.asarray(nv12), h, w))
+    y = nv12[0, :h, :].astype(np.float64)
+    uv = nv12[0, h:, :].reshape(h // 2, w // 2, 2).astype(np.float64)
+    u = np.kron(uv[..., 0] - 128, np.ones((2, 2)))
+    v = np.kron(uv[..., 1] - 128, np.ones((2, 2)))
+    ref = np.stack([y + 1.402 * v,
+                    y - 0.344136 * u - 0.714136 * v,
+                    y + 1.772 * u], axis=-1)
+    ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    diff = np.abs(got[0].astype(int) - ref.astype(int))
+    assert diff.max() <= 1  # f32 vs f64 rounding at the boundary
+
+
+def test_nv12_gray_roundtrip():
+    """Neutral chroma (128) -> R=G=B=Y exactly."""
+    h, w = 4, 4
+    nv12 = np.full((1, h * 3 // 2, w), 128, np.uint8)
+    nv12[0, :h] = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    got = np.asarray(yolo.nv12_to_rgb(jnp.asarray(nv12), h, w))
+    for c in range(3):
+        np.testing.assert_array_equal(got[0, :, :, c], nv12[0, :h])

@@ -80,6 +80,29 @@ def letterbox_uint8(
         constant_values=np.uint8(pad_value))
 
 
+def nv12_to_rgb(nv12: jax.Array, height: int, width: int) -> jax.Array:
+    """NV12 (camera-native planar YUV420, the reference's tensor format
+    for camera frames — ``include/nna_types.h`` NV12) -> RGB uint8, on
+    device, batched.
+
+    Input: [B, H*3/2, W] uint8 (Y plane then interleaved UV half-res
+    plane, the V4L2 NV12 layout). BT.601 full-range conversion.
+    """
+    b = nv12.shape[0]
+    y = nv12[:, :height, :].astype(jnp.float32)
+    uv = nv12[:, height:, :].reshape(b, height // 2, width // 2, 2)
+    u = uv[..., 0].astype(jnp.float32) - 128.0
+    v = uv[..., 1].astype(jnp.float32) - 128.0
+    # upsample chroma to full res (nearest)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    bch = y + 1.772 * u
+    rgb = jnp.stack([r, g, bch], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
 def quantize_input_int8(frames_u8: jax.Array) -> jax.Array:
     """uint8 [0,255] -> int8 centered: the reference feeds ``pixel - 128``
     (``src/mars/mars_yolo_test.c:64-71``)."""
