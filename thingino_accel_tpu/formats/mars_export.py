@@ -90,6 +90,16 @@ def export_mars(graph: Graph, path: Optional[str] = None) -> bytes:
                 shape=tuple(shape), scale=t.quant.scale,
                 zero_point=t.quant.zero_point))
             weight_arrays[i] = blob
+            if t.channel_scales is not None:
+                # per-channel scales ride as a companion D1 tensor named
+                # "<weight>__chs" (format extension; importer reattaches)
+                ci = len(tensors)
+                chs = np.asarray(t.channel_scales, np.float32)
+                tensors.append(M.MarsTensor(
+                    id=ci, name=(name[:53] + "__chs"),
+                    dtype=M.DType.FLOAT32, format=M.Format.D1,
+                    shape=tuple(chs.shape)))
+                weight_arrays[ci] = chs
         else:
             dt = M.DType.INT8 if is_i8 else M.DType.FLOAT32
             tensors.append(M.MarsTensor(

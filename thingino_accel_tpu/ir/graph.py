@@ -52,6 +52,9 @@ class TensorInfo:
     data: Optional[np.ndarray] = None
     # Layout of `shape` as stored in the source file, for round-tripping.
     source_format: Optional[M.Format] = None
+    # Per-output-channel quant scales (per-channel weight quantization
+    # extension; None = per-tensor `quant.scale`).
+    channel_scales: Optional[np.ndarray] = None
 
     @property
     def is_const(self) -> bool:
@@ -311,8 +314,24 @@ def from_mars(
     )
     _quantize_float_biases(g)
     _materialize_dangling(g)
+    _attach_channel_scales(g)
     g.validate()
     return g
+
+
+def _attach_channel_scales(g: Graph) -> None:
+    """Reattach per-channel weight scales serialized as companion D1
+    tensors named ``<weight>__chs`` (our format extension — the base
+    `.mars` descriptor has only a per-tensor scale)."""
+    for name in list(g.tensors):
+        if not name.endswith("__chs"):
+            continue
+        base = name[:-5]
+        t = g.tensors.get(base)
+        cht = g.tensors[name]
+        if t is not None and t.is_const and cht.data is not None:
+            t.channel_scales = np.asarray(cht.data, np.float32).reshape(-1)
+            del g.tensors[name]
 
 
 def _materialize_dangling(g: Graph) -> None:

@@ -149,16 +149,24 @@ def dequantize_graph(graph: Graph, quantize_outputs: bool = True) -> Graph:
                         source_format=t.source_format)
         if t.is_const:
             if name in conv_ws and np.issubdtype(t.data.dtype, np.signedinteger):
-                nt.data = (t.data.astype(np.float32)
-                           * np.float32(t.quant.scale))
+                if t.channel_scales is not None:
+                    sc = np.asarray(t.channel_scales, np.float32)
+                    bshape = (-1,) + (1,) * (t.data.ndim - 1)
+                    nt.data = t.data.astype(np.float32) * sc.reshape(bshape)
+                else:
+                    nt.data = (t.data.astype(np.float32)
+                               * np.float32(t.quant.scale))
                 nt.dtype = nt.data.dtype
             elif name in conv_bias and np.issubdtype(
                     t.data.dtype, np.signedinteger) and t.data.dtype.itemsize >= 4:
                 x_name, w_name = conv_bias[name]
                 xs = graph.tensors[x_name].quant.scale
-                ws = graph.tensors[w_name].quant.scale
+                wt = graph.tensors[w_name]
+                ws = (np.asarray(wt.channel_scales, np.float32)
+                      if wt.channel_scales is not None
+                      else np.float32(wt.quant.scale))
                 nt.data = (t.data.astype(np.float32)
-                           * (np.float32(xs) * np.float32(ws)))
+                           * (np.float32(xs) * ws))
                 nt.dtype = nt.data.dtype
         elif is_i8(t) and name not in graph.inputs:
             nt.dtype = np.dtype(np.float32)

@@ -50,7 +50,7 @@ def clamp_i8(x: jax.Array) -> jax.Array:
 
 def requantize(
     acc_i32: jax.Array,
-    combined_scale: float,
+    combined_scale,
     mode: RoundMode = RoundMode.HALF_AWAY,
 ) -> jax.Array:
     """int32 accumulator -> int8, reference conv epilogue.
@@ -58,8 +58,14 @@ def requantize(
     ``combined_scale = in_scale * w_scale / out_scale``
     (``src/mars/mxu_conv.c:153``). The multiply is done in f32 on an f32
     copy of the accumulator, exactly as C does ``sum * combined_scale``.
+    ``combined_scale`` may be a per-output-channel f32 vector (broadcast
+    over the last axis) — the per-channel quantization extension.
     """
-    scaled = acc_i32.astype(jnp.float32) * jnp.float32(combined_scale)
+    if isinstance(combined_scale, (int, float)):
+        cs = jnp.float32(combined_scale)
+    else:
+        cs = jnp.asarray(combined_scale, jnp.float32)
+    scaled = acc_i32.astype(jnp.float32) * cs
     return clamp_i8(round_to_int(scaled, mode))
 
 

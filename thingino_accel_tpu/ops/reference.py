@@ -73,6 +73,17 @@ def _conv_pads(
     return (pt, pb), (pl, pr)
 
 
+def _combined_scale(in_scale, w_scale, out_scale):
+    """``in_scale * w_scale / out_scale`` in f32, scalar or per-output-
+    channel (w_scale may be a 1-D array — per-channel quantization,
+    broadcast over the epilogue's last axis)."""
+    ws = np.asarray(w_scale, np.float32)
+    cs = (np.float32(in_scale) * ws) / np.float32(out_scale)
+    if cs.ndim == 0:
+        return float(cs)
+    return jnp.asarray(cs)
+
+
 def conv2d_acc_i32(
     x: jax.Array,            # [N, H, W, C] int8
     w_hwio: jax.Array,       # [KH, KW, C, O] int8
@@ -139,9 +150,7 @@ def conv2d_int8(
     acc = conv2d_acc_i32(x, w_hwio, out_hw, stride, dilation, pads)
     if bias_i32 is not None:
         acc = acc + bias_i32.astype(jnp.int32)
-    cs = float(
-        np.float32(np.float32(in_scale) * np.float32(w_scale))
-        / np.float32(out_scale))
+    cs = _combined_scale(in_scale, w_scale, out_scale)
     out = requantize(acc, cs, round_mode)
     if relu:
         out = jnp.maximum(out, 0)
@@ -228,9 +237,7 @@ def depthwise_conv2d_int8(
             acc = p if acc is None else acc + p
     if bias_i32 is not None:
         acc = acc + bias_i32.astype(jnp.int32)
-    cs = float(
-        np.float32(np.float32(in_scale) * np.float32(w_scale))
-        / np.float32(out_scale))
+    cs = _combined_scale(in_scale, w_scale, out_scale)
     out = requantize(acc, cs, round_mode)
     if relu:
         out = jnp.maximum(out, 0)
@@ -284,9 +291,7 @@ def grouped_conv2d_int8(
     acc = jnp.concatenate(outs, axis=-1)
     if bias_i32 is not None:
         acc = acc + bias_i32.astype(jnp.int32)
-    cs = float(
-        np.float32(np.float32(in_scale) * np.float32(w_scale))
-        / np.float32(out_scale))
+    cs = _combined_scale(in_scale, w_scale, out_scale)
     out = requantize(acc, cs, round_mode)
     if relu:
         out = jnp.maximum(out, 0)

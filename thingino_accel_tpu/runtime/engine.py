@@ -160,8 +160,11 @@ class Engine:
         g_parsed_layers, SURVEY §5 observability): one call, all tensors,
         for layer-by-layer comparison against another implementation.
         """
+        produced = set(self.graph.inputs)
+        for node in self.graph.nodes:
+            produced.update(node.outputs)
         all_acts = [n for n, t in self.graph.tensors.items()
-                    if not t.is_const]
+                    if not t.is_const and n in produced]
         probe = Graph(nodes=self.graph.nodes, tensors=self.graph.tensors,
                       inputs=self.graph.inputs, outputs=all_acts,
                       name=self.graph.name)

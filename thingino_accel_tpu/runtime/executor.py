@@ -151,7 +151,10 @@ def _lower_node(
         cin = x.shape[3]
         depthwise = op == "DEPTHWISE_CONV2D" or (groups > 1 and groups == cin)
         if is_int:
-            ws = scale(node.inputs[1])
+            wt_info = tensors[node.inputs[1]]
+            ws = (wt_info.channel_scales
+                  if wt_info.channel_scales is not None
+                  else scale(node.inputs[1]))
             if depthwise:
                 out = R.depthwise_conv2d_int8(
                     x, w, bias, out_hw, a["stride"], a["dilation"], pads,
@@ -163,10 +166,13 @@ def _lower_node(
                     pads, scale(node.inputs[0]), ws, scale(out_name),
                     opts.round_mode, relu)
             else:
+                backend = opts.conv_backend
+                if not np.isscalar(ws) and getattr(ws, "ndim", 0):
+                    backend = "xla"   # pallas epilogue is per-tensor-only
                 out = conv_mod.conv2d_int8(
                     x, w, bias, out_hw, a["stride"], a["dilation"], pads,
                     scale(node.inputs[0]), ws, scale(out_name),
-                    opts.round_mode, relu, backend=opts.conv_backend)
+                    opts.round_mode, relu, backend=backend)
         else:
             if depthwise:
                 out = R.depthwise_conv2d_f32(

@@ -47,8 +47,13 @@ def calibrate(
     from thingino_accel_tpu.runtime.executor import (
         ExecOptions, build_executor, prepare_params,
     )
-    # instrument: make every activation a graph output
-    all_acts = [n for n, t in graph.tensors.items() if not t.is_const]
+    # instrument: make every produced activation a graph output (the
+    # tensors dict may carry dead entries after graph surgery)
+    produced = set(graph.inputs)
+    for node in graph.nodes:
+        produced.update(node.outputs)
+    all_acts = [n for n, t in graph.tensors.items()
+                if not t.is_const and n in produced]
     probe = Graph(nodes=graph.nodes, tensors=graph.tensors,
                   inputs=graph.inputs, outputs=all_acts, name=graph.name)
     body = build_executor(probe, ExecOptions(mode="full",
@@ -86,20 +91,27 @@ def quantize_graph(
     conv_w = {n.inputs[1]: n for n in conv_nodes if len(n.inputs) > 1}
     conv_b = {n.inputs[2]: n for n in conv_nodes if len(n.inputs) > 2}
 
-    w_scales: Dict[str, float] = {}
+    w_scales: Dict[str, np.ndarray] = {}
     for name, t in graph.tensors.items():
         nt = TensorInfo(name=t.name, shape=t.shape, dtype=t.dtype,
                         quant=t.quant, data=t.data,
                         source_format=t.source_format)
         if t.is_const and name in conv_w and np.issubdtype(
                 np.asarray(t.data).dtype, np.floating):
+            # per-output-channel symmetric scales (axis 0 of OIHW) — the
+            # accuracy-critical improvement over the reference compiler's
+            # per-tensor absmax/127 rule
             data = np.asarray(t.data, np.float32)
-            am = float(np.abs(data).max()) or 1e-8
-            s = np.float32(am / 127.0)
-            nt.data = np.clip(np.round(data / s), -128, 127).astype(np.int8)
+            axes = tuple(range(1, data.ndim))
+            am = np.abs(data).max(axis=axes)
+            sc = np.maximum(am / 127.0, 1e-8).astype(np.float32)
+            bshape = (-1,) + (1,) * (data.ndim - 1)
+            nt.data = np.clip(np.round(data / sc.reshape(bshape)),
+                              -128, 127).astype(np.int8)
             nt.dtype = nt.data.dtype
-            nt.quant = QuantInfo(scale=float(s))
-            w_scales[name] = float(s)
+            nt.quant = QuantInfo(scale=float(sc.mean()))
+            nt.channel_scales = sc
+            w_scales[name] = sc
         tensors[name] = nt
 
     # biases after weight scales are known
@@ -110,8 +122,8 @@ def quantize_graph(
             continue
         x_name, w_name = node.inputs[0], node.inputs[1]
         xs = stats.scale(x_name)
-        ws = w_scales.get(w_name, 1.0)
-        denom = np.float32(xs) * np.float32(ws) or np.float32(1.0)
+        ws = np.asarray(w_scales.get(w_name, 1.0), np.float32)
+        denom = np.maximum(np.float32(xs) * ws, 1e-20)
         t.data = np.clip(np.round(np.asarray(t.data, np.float64) / denom),
                          np.iinfo(np.int32).min, np.iinfo(np.int32).max
                          ).astype(np.int32)
