@@ -185,3 +185,19 @@ def test_reference_yolo_onnx_runs():
     out = run_engine(g, feed)
     for v in out.values():
         assert np.isfinite(v).all()
+
+
+@pytest.mark.skipif(not os.path.exists(MGK_DIR), reason="reference absent")
+def test_cli_compile_onnx_to_mars(tmp_path):
+    """The mars-compiler CLI flow: onnx -> .mars -> engine run."""
+    from thingino_accel_tpu import cli
+    out = str(tmp_path / "y.mars")
+    rc = cli.main(["compile", "-i",
+                   os.path.join(MGK_DIR, "yolov5s_t41.onnx"),
+                   "-o", out, "--float32"])
+    assert rc == 0 and os.path.exists(out)
+    from thingino_accel_tpu.runtime import Engine
+    eng = Engine.from_mars(out)
+    x = np.zeros(eng.input_info().shape, np.float32)
+    o = eng.run_np(x)
+    assert all(np.isfinite(v).all() for v in o.values())
