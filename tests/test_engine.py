@@ -166,3 +166,38 @@ def test_yolov5n_f32_backbone_runs():
         assert v.dtype == np.float32
         assert np.isfinite(v).all()
         assert float(np.abs(v).mean()) > 0
+
+
+def test_yolov5nu_anchor_free_runs():
+    """The bundled yolov5nu (anchor-free v8-style head, 252 layers) runs
+    through its 6 detect convs; anchor-free DFL decode + NMS on top."""
+    from thingino_accel_tpu.formats import mars as MM
+    from thingino_accel_tpu.models import yolo
+    g = from_mars(MM.read_mars(reference_model("yolov5nu.mars")))
+    det = yolo.find_detect_outputs(g)
+    assert len(det) == 6
+    eng = Engine(g.with_outputs(det))
+    x = np.random.default_rng(0).integers(
+        -30, 30, (1, 320, 320, 3), dtype=np.int8)
+    out = eng.run_np(x)
+    # pair up box (64ch) and cls (80ch) heads by level
+    by_level = {}
+    for k, v in out.items():
+        by_level.setdefault(v.shape[1], {})[v.shape[3]] = (k, v)
+    box_feats, cls_feats, strides = [], [], []
+    for hw in sorted(by_level, reverse=True):
+        lvl = by_level[hw]
+        assert 64 in lvl and 80 in lvl
+        sc_b = g.tensors[lvl[64][0]].quant.scale
+        sc_c = g.tensors[lvl[80][0]].quant.scale
+        box_feats.append(jnp.asarray(
+            lvl[64][1].astype(np.float32) * sc_b))
+        cls_feats.append(jnp.asarray(
+            lvl[80][1].astype(np.float32) * sc_c))
+        strides.append(320 // hw)
+    boxes, conf, classes = yolo.decode_anchor_free(
+        box_feats, cls_feats, strides)
+    assert boxes.shape[1] == 40 * 40 + 20 * 20 + 10 * 10
+    dets = yolo.nms_batched(boxes, conf, classes, max_dets=20)
+    assert dets.boxes.shape == (1, 20, 4)
+    assert np.isfinite(np.asarray(boxes)).all()

@@ -228,6 +228,45 @@ def decode_and_parse(
             jnp.concatenate(all_cls, 1))
 
 
+def decode_anchor_free(
+    box_feats: Sequence[jax.Array],   # per level [B, H, W, 4*reg_max]
+    cls_feats: Sequence[jax.Array],   # per level [B, H, W, NC]
+    strides: Sequence[int] = YOLOV5_STRIDES,
+    reg_max: int = 16,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Anchor-free DFL decode (yolov5u/yolov8-style heads, e.g. the
+    bundled ``yolov5nu.mars``): box head emits 4*reg_max distribution
+    logits per cell -> softmax expectation = ltrb distances in stride
+    units from the cell center; class head is sigmoid scores (no
+    objectness). Returns (boxes_xywh [B,N,4], conf [B,N], classes [B,N]).
+    """
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    all_b, all_s, all_c = [], [], []
+    for bf, cf, stride in zip(box_feats, cls_feats, strides):
+        b, h, w, _ = bf.shape
+        x = bf.astype(jnp.float32).reshape(b, h, w, 4, reg_max)
+        dist = jnp.sum(jax.nn.softmax(x, axis=-1) * bins, axis=-1)  # ltrb
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+        l, t, r, bt = (dist[..., 0], dist[..., 1], dist[..., 2],
+                       dist[..., 3])
+        x0 = (gx - l) * stride
+        y0 = (gy - t) * stride
+        x1 = (gx + r) * stride
+        y1 = (gy + bt) * stride
+        boxes = jnp.stack([(x0 + x1) / 2, (y0 + y1) / 2,
+                           x1 - x0, y1 - y0], axis=-1)
+        cls_logits = cf.astype(jnp.float32)
+        conf = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
+        cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        n = h * w
+        all_b.append(boxes.reshape(b, n, 4))
+        all_s.append(conf.reshape(b, n))
+        all_c.append(cls.reshape(b, n))
+    return (jnp.concatenate(all_b, 1), jnp.concatenate(all_s, 1),
+            jnp.concatenate(all_c, 1))
+
+
 def parse_predictions(
     pred: jax.Array,              # [B, N, 5+NC] int8 or f32
     scale: float = 1.0,

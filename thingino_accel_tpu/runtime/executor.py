@@ -132,6 +132,23 @@ def _lower_node(
     out_name = node.outputs[0]
     out_t = tensors[out_name]
 
+    # Degenerate region guard: bundled files contain subgraphs over
+    # zero-shaped dangling tensors (compiler-skipped ops, see
+    # ir.graph._materialize_dangling — e.g. the v8 DFL head in
+    # yolov5nu.mars). Any op touching an empty tensor produces
+    # deterministic zeros of its declared shape.
+    degenerate = (
+        any(0 in env[i].shape for i in node.inputs if i in env)
+        or any(0 in tensors[o].shape for o in node.outputs)
+        or (op in ("MAXPOOL", "AVGPOOL")
+            and (0 in a.get("kernel", (1, 1)) or 0 in a.get("stride", (1, 1))))
+    )
+    if degenerate:
+        for o in node.outputs:
+            t = tensors[o]
+            env[o] = jnp.zeros(t.shape, t.dtype)
+        return
+
     def scale(nm: str) -> float:
         return tensors[nm].quant.scale
 
@@ -247,9 +264,26 @@ def _lower_node(
     elif op == "CONCAT":
         xs = [env[i] for i in node.inputs]
         axis = int(a.get("axis", 3))
-        # .mars graphs express concat on NCHW axis 1 == NHWC axis 3.
-        if axis == 1 and all(env[i].ndim == 4 for i in node.inputs):
-            axis = 3
+        # .mars graphs express concat on NCHW axis 1 == NHWC axis 3, and
+        # some bundled files carry garbage axis values (the C runtime
+        # ignores the field and always concats channels,
+        # mars_runtime.c:963-1000). Infer the axis from declared shapes
+        # when they identify it unambiguously.
+        rank = xs[0].ndim
+        if all(x.ndim == rank for x in xs):
+            cands = []
+            for ax in range(rank):
+                tot = sum(x.shape[ax] for x in xs)
+                others = all(
+                    all(x.shape[d] == xs[0].shape[d] for x in xs)
+                    for d in range(rank) if d != ax)
+                if others and len(out_t.shape) == rank \
+                        and out_t.shape[ax] in (tot, 0) and tot > 0:
+                    cands.append(ax)
+            if len(cands) == 1:
+                axis = cands[0]
+            elif axis == 1 and rank == 4:
+                axis = 3
         env[out_name] = R.concat(xs, axis)
 
     elif op == "ADD":
