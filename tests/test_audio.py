@@ -1,0 +1,61 @@
+"""Audio front-end tests: WAV IO, STFT/iSTFT round trip, AEC processing
+on the real reference fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from thingino_accel_tpu.models import aec, audio
+
+SAMPLES = "/root/reference/mgk-decompiler/audio_samples"
+needs_samples = pytest.mark.skipif(
+    not os.path.isdir(SAMPLES), reason="audio fixtures not available")
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    audio.write_wav(p, x)
+    back = audio.read_wav(p)
+    assert back.shape == x.shape
+    np.testing.assert_allclose(back, x, atol=1.0 / 32768 + 1e-6)
+
+
+def test_stft_istft_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(1, 16384)).astype(np.float32) * 0.3)
+    spec = audio.stft(x)
+    assert spec.shape[1] == audio.FREQ_BINS
+    back = audio.istft(spec, n_samples=16384)
+    # perfect reconstruction except frame edges & the dropped top bin
+    mid = slice(audio.N_FFT, 16384 - audio.N_FFT)
+    err = np.abs(np.asarray(back)[0, mid] - np.asarray(x)[0, mid])
+    assert err.mean() < 0.02
+
+
+@needs_samples
+def test_aec_on_real_wav(tmp_path):
+    wavs = sorted(f for f in os.listdir(SAMPLES) if f.endswith("_mic.wav"))
+    x = audio.read_wav(os.path.join(SAMPLES, wavs[0]))[:32000]  # 2s
+    model = aec.AECModel(aec.AECConfig(), aec.init_params(aec.AECConfig()))
+    out = audio.process_wav(model, x)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.5
+    audio.write_wav(str(tmp_path / "processed.wav"), out)
+    assert (tmp_path / "processed.wav").exists()
+
+
+@needs_samples
+def test_aec_full_pipeline_from_mgk(tmp_path):
+    """The aec_inference.py flow: .mgk import -> real WAV -> masked WAV."""
+    from thingino_accel_tpu.formats import mgk
+    path = "/root/reference/AEC_T41_16K_NS_OUT_UC.mgk"
+    if not os.path.exists(path):
+        pytest.skip("AEC .mgk absent")
+    model = mgk.import_mgk(path)
+    wavs = sorted(f for f in os.listdir(SAMPLES) if f.endswith("_mic.wav"))
+    x = audio.read_wav(os.path.join(SAMPLES, wavs[0]))[:16000]  # 1s
+    out = audio.process_wav(model, x)
+    assert out.shape == x.shape and np.isfinite(out).all()

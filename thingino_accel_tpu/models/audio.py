@@ -1,0 +1,106 @@
+"""Audio front-end for the AEC model: WAV IO, STFT/iSTFT, streaming
+processing.
+
+The reference handles this host-side in Python around onnxruntime
+(``mgk-decompiler/scripts/aec_inference.py`` frame/window/mask/overlap-
+add, ``process_audio.py``); here the spectral transform and mask
+application are jax (device-side, fused with the model), and WAV IO is
+stdlib (16 kHz mono 16-bit PCM, the AEC fixture format).
+"""
+
+from __future__ import annotations
+
+import wave
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16000
+N_FFT = 512
+HOP = 256
+FREQ_BINS = 256     # model consumes bins 0..255 of the 257-bin rfft
+
+
+def read_wav(path: str) -> np.ndarray:
+    """16-bit PCM mono WAV -> float32 [-1, 1]."""
+    with wave.open(path, "rb") as w:
+        assert w.getsampwidth() == 2, "16-bit PCM expected"
+        data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels())[:, 0]
+    return (data.astype(np.float32) / 32768.0).copy()
+
+
+def write_wav(path: str, audio: np.ndarray,
+              rate: int = SAMPLE_RATE) -> None:
+    pcm = np.clip(np.asarray(audio) * 32768.0, -32768, 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+
+
+def _window() -> jnp.ndarray:
+    return jnp.hanning(N_FFT).astype(jnp.float32)
+
+
+def stft(x: jax.Array) -> jax.Array:
+    """[B, samples] -> complex spectrogram [B, FREQ_BINS, T]."""
+    b, n = x.shape
+    t = max(0, (n - N_FFT) // HOP + 1)
+    idx = (jnp.arange(t)[:, None] * HOP + jnp.arange(N_FFT)[None, :])
+    frames = x[:, idx] * _window()[None, None, :]        # [B, T, N_FFT]
+    spec = jnp.fft.rfft(frames, axis=-1)                 # [B, T, 257]
+    return jnp.swapaxes(spec[..., :FREQ_BINS], 1, 2)     # [B, 256, T]
+
+
+def istft(spec: jax.Array, n_samples: Optional[int] = None) -> jax.Array:
+    """[B, FREQ_BINS, T] complex -> [B, samples] via overlap-add."""
+    b, f, t = spec.shape
+    full = jnp.concatenate(
+        [jnp.swapaxes(spec, 1, 2),
+         jnp.zeros((b, t, 257 - f), spec.dtype)], axis=-1)
+    frames = jnp.fft.irfft(full, n=N_FFT, axis=-1)       # [B, T, N_FFT]
+    frames = frames * _window()[None, None, :]
+    out_len = (t - 1) * HOP + N_FFT
+    out = jnp.zeros((b, out_len), jnp.float32)
+    norm = jnp.zeros((out_len,), jnp.float32)
+    win_sq = _window() ** 2
+    idx = jnp.arange(t)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
+    out = out.at[:, idx.reshape(-1)].add(
+        frames.reshape(b, -1))
+    norm = norm.at[idx.reshape(-1)].add(
+        jnp.tile(win_sq, (t,)))
+    out = out / jnp.maximum(norm, 1e-8)[None, :]
+    if n_samples is not None:
+        if out.shape[1] < n_samples:      # tail beyond the last full frame
+            out = jnp.pad(out, ((0, 0), (0, n_samples - out.shape[1])))
+        out = out[:, :n_samples]
+    return out
+
+
+def process_wav(model, audio: np.ndarray, chunk: int = 8) -> np.ndarray:
+    """Run the AEC mask model over a waveform: stft -> chunked streaming
+    mask (carried GRU state) -> apply -> istft. ``model`` is an
+    ``models.aec.AECModel``."""
+    x = jnp.asarray(audio[None])
+    spec = stft(x)                                       # [1, 256, T] cplx
+    mag = jnp.log1p(jnp.abs(spec)).astype(jnp.float32)
+    t = spec.shape[2]
+    n_chunks = t // chunk
+    state = None
+    masks = []
+    for i in range(n_chunks):
+        m, state = model.run(
+            np.asarray(mag[:, :, i * chunk:(i + 1) * chunk]), state)
+        masks.append(m[..., 0])                          # channel 0 = mask
+    if not masks:
+        return np.asarray(audio)
+    mask = jnp.asarray(np.concatenate(masks, axis=2))    # [1, 256, T']
+    t_used = mask.shape[2]
+    cleaned = spec[:, :, :t_used] * mask.astype(spec.dtype)
+    out = istft(cleaned, n_samples=len(audio))
+    return np.asarray(out[0])
