@@ -37,6 +37,7 @@ class ExecOptions:
     mode: str = "full"               # "full" | "compat"
     conv_backend: Optional[str] = None   # None -> ops.conv global default
     compute_dtype: Any = jnp.float32     # f32-model conv compute (bfloat16 = fast)
+    accum_dtype: Any = None              # conv accumulation (bfloat16 = fastest)
     round_mode: RoundMode = RoundMode.HALF_AWAY  # conv epilogue rule
     fuse_silu: bool = True           # fuse SIGMOID+MUL pairs (full mode)
     batch: int = 1
@@ -197,7 +198,7 @@ def _lower_node(
             else:
                 out = R.conv2d_f32(
                     x, w, bias, out_hw, a["stride"], a["dilation"], pads,
-                    relu, opts.compute_dtype)
+                    relu, opts.compute_dtype, opts.accum_dtype)
         out = _apply_fused_act(out, act, out_t, compat)
         env[out_name] = out
 
