@@ -36,7 +36,10 @@ def build_pipeline(batch: int, size: str):
     cfg = zoo.ZooConfig(dtype="int8", in_hw=(640, 640))
     graph = zoo.build_yolov5(size, cfg)
     precision = "exact" if os.environ.get("TAT_BENCH_EXACT") == "1" else "fast"
-    eng = Engine(graph, EngineOptions(precision=precision))
+    accum = (None if os.environ.get("TAT_BENCH_F32ACC") == "1"
+             else jnp.bfloat16)   # bf16 accumulation: +~15% (docs/KERNELS.md)
+    eng = Engine(graph, EngineOptions(precision=precision,
+                                      accum_dtype=accum))
     in_name = eng.graph.inputs[0]
     out_names = list(eng.graph.outputs)
     out_scales = [eng.graph.tensors[o].quant.scale for o in out_names]
