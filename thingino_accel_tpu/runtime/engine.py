@@ -64,7 +64,11 @@ class Engine:
         self.params = {k: jnp.asarray(v) for k, v in self._np_params.items()}
         fn = build_executor(graph, self.options)
         if self.options.jit:
-            self._fn = jax.jit(fn)
+            # donate_inputs lets XLA reuse the input batch buffer for
+            # activations (saves one HBM buffer per call; callers must
+            # not reuse the fed arrays)
+            donate = (1,) if self.options.donate_inputs else ()
+            self._fn = jax.jit(fn, donate_argnums=donate)
         else:
             self._fn = fn
         # mars_model_t-style stats (include/mars_runtime.h:64-66)

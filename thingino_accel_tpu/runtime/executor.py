@@ -40,7 +40,6 @@ class ExecOptions:
     accum_dtype: Any = None              # conv accumulation (bfloat16 = fastest)
     round_mode: RoundMode = RoundMode.HALF_AWAY  # conv epilogue rule
     fuse_silu: bool = True           # fuse SIGMOID+MUL pairs (full mode)
-    batch: int = 1
 
 
 def _is_int8(t: TensorInfo) -> bool:
