@@ -84,3 +84,25 @@ def test_backend_dispatch(rng):
     a = np.asarray(conv_mod.conv2d_int8(*args, backend="xla"))
     b = np.asarray(conv_mod.conv2d_int8(*args, backend="pallas"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_halo_kernel_matrix(rng):
+    """Halo-tile conv across kernel/stride variants, bit-exact vs XLA."""
+    from thingino_accel_tpu.ops import pallas_kernels as PK
+    for (n, h, w, c, o, k, s) in [(1, 16, 16, 8, 16, 3, 1),
+                                  (2, 17, 15, 4, 8, 3, 2),
+                                  (1, 12, 12, 8, 8, 5, 1),
+                                  (1, 9, 9, 16, 8, 1, 2)]:
+        x = jnp.asarray(rng.integers(-128, 128, (n, h, w, c), dtype=np.int8))
+        wt = jnp.asarray(rng.integers(-128, 128, (k, k, c, o), dtype=np.int8))
+        b = jnp.asarray(rng.integers(-500, 500, (o,), dtype=np.int32))
+        pad = (k - 1) // 2
+        oh = (h + 2 * pad - k) // s + 1
+        ow = (w + 2 * pad - k) // s + 1
+        got = np.asarray(PK.conv2d_int8_halo(
+            x, wt, b, (oh, ow), (s, s), ((pad, pad), (pad, pad)),
+            0.05, 0.01, 0.04, tile_h=4))
+        ref = np.asarray(R.conv2d_int8(
+            x, wt, b, (oh, ow), (s, s), (1, 1), ((pad, pad), (pad, pad)),
+            0.05, 0.01, 0.04))
+        np.testing.assert_array_equal(got, ref)

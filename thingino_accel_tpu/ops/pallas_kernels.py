@@ -28,6 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from thingino_accel_tpu.ops.quant import RoundMode
 
+# Element-indexed block dimension (overlapping halo tiles). Public alias
+# when available, else the internal core type.
+try:
+    _PL_ELEMENT = pl.Element          # type: ignore[attr-defined]
+except AttributeError:
+    from jax._src.pallas.core import Element as _PL_ELEMENT
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -118,6 +125,127 @@ def matmul_int8_requant(
 
 
 # ---------------------------------------------------------------------------
+# Halo-read KxK int8 conv: one input fetch per output tile
+# ---------------------------------------------------------------------------
+#
+# The tap-accumulation path below materializes the K*K shifted input
+# views in HBM (K^2x activation traffic). This kernel instead reads each
+# output row-tile's input slab (tile_h*stride + K - 1 rows, the "halo")
+# into VMEM once via the BlockSpec pipeline and slices the taps from
+# VMEM, so HBM sees the input exactly once.
+
+
+def _halo_kernel(x_ref, w_ref, bias_ref, out_ref, *,
+                 kh: int, kw: int, stride: int, tile_h: int, ow: int,
+                 combined_scale: float, round_mode: RoundMode, relu: bool):
+    # x_ref: [1, tile_h*stride + kh - 1, Wp, C] (halo slab, VMEM)
+    # w_ref: [kh*kw, C, block_n]   bias_ref: [1, block_n]
+    # out_ref: [1, tile_h, ow, block_n]
+    c = x_ref.shape[3]
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = jax.lax.slice(
+                x_ref[0],
+                (dy, dx, 0),
+                (dy + (tile_h - 1) * stride + 1,
+                 dx + (ow - 1) * stride + 1, c),
+                (stride, stride, 1))                     # [tile_h, ow, C]
+            p = jax.lax.dot_general(
+                sl.reshape(tile_h * ow, c), w_ref[dy * kw + dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = p if acc is None else acc + p
+    acc = acc + bias_ref[:].astype(jnp.int32)
+    scaled = acc.astype(jnp.float32) * jnp.float32(combined_scale)
+    if round_mode == RoundMode.HALF_AWAY:
+        shifted = scaled + jnp.where(
+            scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+    else:
+        shifted = scaled + jnp.float32(0.5)
+    q = jnp.clip(jnp.trunc(shifted), -128, 127)
+    if relu:
+        q = jnp.maximum(q, 0.0)
+    out_ref[:] = q.reshape(1, tile_h, ow, -1).astype(jnp.int8)
+
+
+def conv2d_int8_halo(
+    x: jax.Array,            # [N, H, W, C] int8
+    w_hwio: jax.Array,       # [KH, KW, C, O] int8
+    bias_i32: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    stride: Tuple[int, int],
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    in_scale: float, w_scale: float, out_scale: float,
+    round_mode: RoundMode = RoundMode.HALF_AWAY,
+    relu: bool = False,
+    tile_h: int = 8,
+    block_n: int = 256,
+) -> jax.Array:
+    """Fused int8 conv with halo input tiles (stride must be square;
+    dilation 1). Input crosses HBM once; taps are VMEM slices."""
+    if stride[0] != stride[1]:
+        raise ValueError("halo kernel needs square stride")
+    s = stride[0]
+    n, h, wd, c = x.shape
+    kh, kw, _, o = w_hwio.shape
+    oh, ow = out_hw
+    cs = float(np.float32(np.float32(in_scale) * np.float32(w_scale))
+               / np.float32(out_scale))
+    (pt, pb), (pl_, pr) = pads
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
+    # pad channels to the int8 lane tile and O to block_n
+    cp = _round_up(c, 128)
+    op = _round_up(o, 128)
+    block_n = min(block_n, op)
+    if cp != c:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    wk = jnp.pad(w_hwio, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
+    wk = wk.reshape(kh * kw, cp, op)
+    b = bias_i32 if bias_i32 is not None else jnp.zeros((o,), jnp.int32)
+    b = jnp.pad(b, (0, op - o)).reshape(1, op)
+
+    tile_h = min(tile_h, oh)
+    n_tiles_h = _cdiv(oh, tile_h)
+    # pad rows so every tile's halo slab is in-bounds
+    need_rows = (n_tiles_h * tile_h - 1) * s + kh
+    if xp.shape[1] < need_rows:
+        xp = jnp.pad(xp, ((0, 0), (0, need_rows - xp.shape[1]),
+                          (0, 0), (0, 0)))
+    halo_rows = (tile_h - 1) * s + kh
+    wp_cols = xp.shape[2]
+
+    grid = (n, n_tiles_h, _cdiv(op, block_n))
+    kernel = functools.partial(
+        _halo_kernel, kh=kh, kw=kw, stride=s, tile_h=tile_h, ow=ow,
+        combined_scale=cs, round_mode=round_mode, relu=relu)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # overlapping halo slabs: the row dim uses Element indexing
+            # (index map yields an element start, ti * tile_h * stride)
+            # while the block spans halo_rows — adjacent tiles overlap by
+            # the kernel halo, and the input crosses HBM once per tile.
+            pl.BlockSpec(
+                (1, _PL_ELEMENT(halo_rows), wp_cols, cp),
+                lambda ni, ti, oi, _s=s: (ni, ti * tile_h * _s, 0, 0)),
+            pl.BlockSpec((kh * kw, cp, block_n),
+                         lambda ni, ti, oi: (0, 0, oi)),
+            pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, ow, block_n),
+            lambda ni, ti, oi: (ni, ti, 0, oi)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n_tiles_h * tile_h, ow, op), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+    )(xp, wk, b)
+    return out[:, :oh, :, :o]
+
+
+# ---------------------------------------------------------------------------
 # Fused KxK int8 conv: tap-accumulation grid
 # ---------------------------------------------------------------------------
 
@@ -152,6 +280,13 @@ def conv2d_int8(
             x.reshape(n * h * wd, c), w_hwio.reshape(c, o), bias_i32, cs,
             round_mode, relu)
         return out.reshape(n, h, wd, o)
+
+    if stride[0] == stride[1] and dilation == (1, 1):
+        # halo-tile kernel: input crosses HBM once (the tap-stack
+        # fallback below writes K*K shifted copies first)
+        return conv2d_int8_halo(
+            x, w_hwio, bias_i32, out_hw, stride, pads,
+            in_scale, w_scale, out_scale, round_mode, relu)
 
     (pt, pb), (pl_, pr) = pads
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
