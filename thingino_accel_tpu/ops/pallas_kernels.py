@@ -281,9 +281,11 @@ def conv2d_int8(
             round_mode, relu)
         return out.reshape(n, h, wd, o)
 
-    if stride[0] == stride[1] and dilation == (1, 1):
+    if stride == (1, 1) and dilation == (1, 1):
         # halo-tile kernel: input crosses HBM once (the tap-stack
-        # fallback below writes K*K shifted copies first)
+        # fallback below writes K*K shifted copies first). Stride > 1
+        # needs strided VMEM slices, which Mosaic does not lower —
+        # those convs take the tap path.
         return conv2d_int8_halo(
             x, w_hwio, bias_i32, out_hw, stride, pads,
             in_scale, w_scale, out_scale, round_mode, relu)
