@@ -227,8 +227,11 @@ def conv2d_int8_halo(
             # (index map yields an element start, ti * tile_h * stride)
             # while the block spans halo_rows — adjacent tiles overlap by
             # the kernel halo, and the input crosses HBM once per tile.
+            # Mosaic requires every dim of an Element-indexed BlockSpec
+            # to be Element; index map entries are element offsets.
             pl.BlockSpec(
-                (1, _PL_ELEMENT(halo_rows), wp_cols, cp),
+                (_PL_ELEMENT(1), _PL_ELEMENT(halo_rows),
+                 _PL_ELEMENT(wp_cols), _PL_ELEMENT(cp)),
                 lambda ni, ti, oi, _s=s: (ni, ti * tile_h * _s, 0, 0)),
             pl.BlockSpec((kh * kw, cp, block_n),
                          lambda ni, ti, oi: (0, 0, oi)),
