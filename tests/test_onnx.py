@@ -159,6 +159,52 @@ def test_split_slice_pow(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_flatten_gemm_vs_torch(rng):
+    """Rank-changing Flatten over an NHWC buffer must preserve ONNX's
+    NCHW element order (the Gemm weights index it that way)."""
+    w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+    fw = rng.normal(size=(10, 8 * 4 * 4)).astype(np.float32)
+    fb = rng.normal(size=(10,)).astype(np.float32)
+    m = W.build_model(
+        nodes=[
+            ("Conv", ["x", "w"], ["c"],
+             dict(kernel_shape=(3, 3), strides=(1, 1), pads=(1, 1, 1, 1))),
+            ("Relu", ["c"], ["r"], None),
+            ("Flatten", ["r"], ["f"], dict(axis=1)),
+            ("Gemm", ["f", "fw", "fb"], ["y"], dict(transB=1)),
+        ],
+        inputs={"x": ((2, 3, 4, 4), OP.TP_FLOAT)},
+        outputs={"y": ((2, 10), OP.TP_FLOAT)},
+        initializers={"w": w, "fw": fw, "fb": fb},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(2, 3, 4, 4)).astype(np.float32)
+    got = list(run_engine(g, {"x": np.transpose(x, (0, 2, 3, 1))}).values())[0]
+    ref = (torch.relu(torch.nn.functional.conv2d(
+        torch.tensor(x), torch.tensor(w), padding=1)).flatten(1)
+        @ torch.tensor(fw).T + torch.tensor(fb)).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_reshape_4d_to_4d_vs_numpy(rng):
+    """Reshape 4-D -> 4-D follows NCHW element order end to end."""
+    m = W.build_model(
+        nodes=[
+            ("Relu", ["x"], ["r"], None),
+            ("Reshape", ["r", "shape"], ["y"], None),
+        ],
+        inputs={"x": ((1, 4, 6, 2), OP.TP_FLOAT)},
+        outputs={"y": ((1, 8, 3, 2), OP.TP_FLOAT)},
+        initializers={"shape": np.asarray([1, 8, 3, 2], np.int64)},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(1, 4, 6, 2)).astype(np.float32)
+    got = list(run_engine(g, {"x": np.transpose(x, (0, 2, 3, 1))}).values())[0]
+    ref = np.maximum(x, 0).reshape(1, 8, 3, 2)
+    np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.skipif(not os.path.exists(MGK_DIR), reason="reference absent")
 def test_reference_aec_onnx_runs():
     g = import_onnx(os.path.join(MGK_DIR, "aec_model_with_weights.onnx"),

@@ -71,3 +71,51 @@ def test_ptq_mars_roundtrip():
     a = list(eng1.run_np(x).values())[0]
     b = list(eng2.run_np(x).values())[0]
     np.testing.assert_array_equal(a, b.reshape(a.shape))
+
+
+def test_ptq_fc_per_channel():
+    """FC weights are [K, O]: per-channel scales must be per OUTPUT
+    channel (last axis), and the exact engine must apply them in the FC
+    requantize epilogue (not the mean scale)."""
+    from thingino_accel_tpu.formats import onnx_proto as OP
+    from thingino_accel_tpu.formats import onnx_writer as W
+    from thingino_accel_tpu.formats.onnx import import_onnx
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+    # strongly non-uniform per-output-channel magnitudes
+    fw = (rng.normal(size=(6, 8 * 4 * 4)) *
+          np.geomspace(0.01, 10.0, 6)[:, None]).astype(np.float32)
+    fb = rng.normal(size=(6,)).astype(np.float32)
+    m = W.build_model(
+        nodes=[
+            ("Conv", ["x", "w"], ["c"],
+             dict(kernel_shape=(3, 3), pads=(1, 1, 1, 1))),
+            ("Relu", ["c"], ["r"], None),
+            ("Flatten", ["r"], ["f"], dict(axis=1)),
+            ("Gemm", ["f", "fw", "fb"], ["y"], dict(transB=1)),
+        ],
+        inputs={"x": ((1, 3, 4, 4), OP.TP_FLOAT)},
+        outputs={"y": ((1, 6), OP.TP_FLOAT)},
+        initializers={"w": w, "fw": fw, "fb": fb},
+    )
+    g = import_onnx(m, float32=True)
+    gq = ptq.quantize_model(g, _calib_batches(g))   # raised ValueError before
+
+    # weight scales per OUTPUT channel: [O] = 6
+    fc_w = next(t for n, t in gq.tensors.items()
+                if t.is_const and t.channel_scales is not None
+                and t.data.ndim == 2)
+    assert fc_w.channel_scales.shape == (6,)
+
+    # int8 engine tracks the f32 engine through the FC
+    eng_f, eng_q = Engine(g), Engine(gq)
+    x = np.random.default_rng(5).normal(
+        scale=0.5, size=(1, 4, 4, 3)).astype(np.float32)
+    ref = list(eng_f.run_np(x).values())[0]
+    in_s = gq.tensors[gq.inputs[0]].quant.scale
+    qi = list(eng_q.run_np(
+        np.clip(np.round(x / in_s), -128, 127).astype(np.int8)).values())[0]
+    deq = qi.astype(np.float32) * gq.tensors[gq.outputs[0]].quant.scale
+    cc = np.corrcoef(deq.reshape(-1), ref.reshape(-1))[0, 1]
+    assert cc > 0.98, f"per-channel FC PTQ accuracy too low: cc={cc}"

@@ -85,8 +85,11 @@ def export_mars(graph: Graph, path: Optional[str] = None) -> bytes:
                       np.dtype(np.uint8): M.DType.UINT8,
                       np.dtype(np.int16): M.DType.INT16,
                       }.get(blob.dtype, M.DType.FLOAT32)
+            # truncate so the companion "<stored>__chs" also fits the
+            # 59-char name field and strips back to exactly this name
+            stored = name[:54] if t.channel_scales is not None else name[:58]
             tensors.append(M.MarsTensor(
-                id=i, name=name[:58], dtype=dt, format=fmt,
+                id=i, name=stored, dtype=dt, format=fmt,
                 shape=tuple(shape), scale=t.quant.scale,
                 zero_point=t.quant.zero_point))
             weight_arrays[i] = blob
@@ -96,7 +99,7 @@ def export_mars(graph: Graph, path: Optional[str] = None) -> bytes:
                 ci = len(tensors)
                 chs = np.asarray(t.channel_scales, np.float32)
                 tensors.append(M.MarsTensor(
-                    id=ci, name=(name[:53] + "__chs"),
+                    id=ci, name=stored + "__chs",
                     dtype=M.DType.FLOAT32, format=M.Format.D1,
                     shape=tuple(chs.shape)))
                 weight_arrays[ci] = chs

@@ -75,8 +75,10 @@ def parse_elf(data: bytes) -> ElfFile:
     for i in range(e_shnum):
         off = e_shoff + i * e_shentsize
         (sh_name, sh_type, _flags, sh_addr, sh_offset, sh_size,
-         _link, _info, _align, _entsize) = struct.unpack_from("<10I", data, off)
-        raw_sections.append((sh_name, sh_type, sh_addr, sh_offset, sh_size))
+         sh_link, _info, _align, _entsize) = struct.unpack_from(
+             "<10I", data, off)
+        raw_sections.append(
+            (sh_name, sh_type, sh_addr, sh_offset, sh_size, sh_link))
 
     shstr_off = raw_sections[e_shstrndx][3] if e_shstrndx < len(raw_sections) \
         else 0
@@ -88,18 +90,23 @@ def parse_elf(data: bytes) -> ElfFile:
     sections: Dict[str, Section] = {}
     symtabs = []
     strtabs = {}
-    for i, (nm, st, addr, off, size) in enumerate(raw_sections):
+    for i, (nm, st, addr, off, size, link) in enumerate(raw_sections):
         name = str_at(shstr_off, nm) if shstr_off else f"sec{i}"
         sections[name] = Section(name=name, sh_type=st, offset=off,
                                  size=size, addr=addr)
         if st in (2, 11):  # SYMTAB, DYNSYM
-            symtabs.append((name, off, size))
+            symtabs.append((name, off, size, link))
         if st == 3:
             strtabs[name] = off
 
     symbols: List[Tuple[str, int, int]] = []
-    str_off = strtabs.get(".dynstr") or strtabs.get(".strtab")
-    for _, off, size in symtabs:
+    fallback = strtabs.get(".dynstr") or strtabs.get(".strtab")
+    for _, off, size, link in symtabs:
+        # each symtab names its own string table via sh_link
+        # (.symtab -> .strtab, .dynsym -> .dynstr)
+        str_off = (raw_sections[link][3]
+                   if 0 < link < len(raw_sections)
+                   and raw_sections[link][1] == 3 else fallback)
         for so in range(off, off + size, 16):  # Elf32_Sym = 16 bytes
             st_name, st_value, st_size, _info, _other, _shndx = \
                 struct.unpack_from("<IIIBBH", data, so)

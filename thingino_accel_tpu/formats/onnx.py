@@ -46,6 +46,10 @@ class _Ctx:
         self.zero_points: Dict[str, int] = {}
         # onnx name -> ir name (aliasing for folded ops)
         self.alias: Dict[str, str] = {}
+        # 4-D activations stored in ONNX order (not NHWC) — GRU Y outputs
+        # and tensors derived from them; reshape/transpose handlers must
+        # not apply the NHWC bracket to these.
+        self.onnx4d: set = set()
 
     def log(self, msg: str) -> None:
         if self.verbose:
@@ -313,6 +317,8 @@ def _h_squeeze(ctx: _Ctx, n: OP.NodeProto) -> None:
         return
     shape = list(ctx.shape_of(x))
     rank = len(shape)
+    if rank == 4 and x not in ctx.onnx4d:   # axes are ONNX(NCHW)-indexed
+        shape = [shape[0], shape[3], shape[1], shape[2]]
     if n.op_type == "Unsqueeze":
         for a in sorted(a if a >= 0 else a + rank + 1 for a in axes):
             shape.insert(a, 1)
@@ -320,10 +326,7 @@ def _h_squeeze(ctx: _Ctx, n: OP.NodeProto) -> None:
         axes = [a if a >= 0 else a + rank for a in axes] or \
             [i for i, d in enumerate(shape) if d == 1]
         shape = [d for i, d in enumerate(shape) if i not in axes]
-    out = ctx.add_act(n.outputs[0], tuple(shape), ctx.dtype_of(x),
-                      ctx.scales.get(x, 1.0))
-    ctx.emit("RESHAPE", [x], [out],
-             attrs=dict(new_shape=tuple(shape)), name=n.name)
+    _emit_reshape_onnx(ctx, n, x, shape)
 
 
 def _h_pool(ctx: _Ctx, n: OP.NodeProto) -> None:
@@ -467,6 +470,41 @@ def _h_resize(ctx: _Ctx, n: OP.NodeProto) -> None:
              name=n.name)
 
 
+def _emit_reshape_onnx(ctx: _Ctx, n: OP.NodeProto, x: str, tgt) -> None:
+    """Emit RESHAPE with ONNX (NCHW) element-order semantics.
+
+    4-D activations are stored NHWC in the IR, but ONNX Reshape/Flatten/
+    Squeeze element order is defined over the NCHW buffer (and any
+    downstream Gemm weights assume it), so bracket the raw reshape with
+    transposes wherever the rank crosses 4. XLA folds no-op transposes.
+    """
+    in_shape = ctx.shape_of(x)
+    tgt = [int(v) for v in tgt]
+    src = x
+    if len(in_shape) == 4 and x not in ctx.onnx4d:
+        nchw = tuple(in_shape[i] for i in (0, 3, 1, 2))
+        t = ctx.add_act(f"{n.outputs[0]}__nchw", nchw, ctx.dtype_of(x),
+                        ctx.scales.get(x, 1.0))
+        ctx.emit("TRANSPOSE", [x], [t], attrs=dict(perm=(0, 3, 1, 2)),
+                 name=f"{n.name}__to_nchw")
+        src = t
+    if len(tgt) == 4:
+        mid = ctx.add_act(f"{n.outputs[0]}__pre", tuple(tgt),
+                          ctx.dtype_of(x), ctx.scales.get(x, 1.0))
+        ctx.emit("RESHAPE", [src], [mid],
+                 attrs=dict(new_shape=tuple(tgt)), name=n.name)
+        nhwc = tuple(tgt[i] for i in (0, 2, 3, 1))
+        out = ctx.add_act(n.outputs[0], nhwc, ctx.dtype_of(x),
+                          ctx.scales.get(x, 1.0))
+        ctx.emit("TRANSPOSE", [mid], [out], attrs=dict(perm=(0, 2, 3, 1)),
+                 name=f"{n.name}__to_nhwc")
+    else:
+        out = ctx.add_act(n.outputs[0], tuple(tgt), ctx.dtype_of(x),
+                          ctx.scales.get(x, 1.0))
+        ctx.emit("RESHAPE", [src], [out],
+                 attrs=dict(new_shape=tuple(tgt)), name=n.name)
+
+
 def _h_reshape(ctx: _Ctx, n: OP.NodeProto) -> None:
     x = ctx.resolve(n.inputs[0])
     cx = ctx.const_of(n.inputs[0])
@@ -486,11 +524,7 @@ def _h_reshape(ctx: _Ctx, n: OP.NodeProto) -> None:
     known = int(np.prod([v for v in tgt if v > 0])) or 1
     tgt = [numel // known if v == -1 else
            (in_shape[0] if v == 0 else v) for v in tgt]
-    out = ctx.add_act(n.outputs[0], tuple(tgt), ctx.dtype_of(x),
-                      ctx.scales.get(x, 1.0))
-    ctx.emit("RESHAPE", [x], [out],
-             attrs=dict(new_shape=tuple(tgt), src_layout="NHWC"),
-             name=n.name)
+    _emit_reshape_onnx(ctx, n, x, tgt)
 
 
 def _h_transpose(ctx: _Ctx, n: OP.NodeProto) -> None:
@@ -505,7 +539,8 @@ def _h_transpose(ctx: _Ctx, n: OP.NodeProto) -> None:
     rank = len(in_shape)
     perm = list(perm) if perm else list(reversed(range(rank)))
     out_shape = tuple(in_shape[p] for p in perm) if rank != 4 else None
-    if rank == 4:
+    mark_onnx4d = False
+    if rank == 4 and x not in ctx.onnx4d:
         # perm given in NCHW terms; our tensor is NHWC. Compose:
         # NHWC -> NCHW -> perm -> NHWC
         to_nchw = [0, 3, 1, 2]
@@ -513,8 +548,15 @@ def _h_transpose(ctx: _Ctx, n: OP.NodeProto) -> None:
         full = [to_nchw[perm[to_nhwc[i]]] for i in range(4)]
         out_shape = tuple(in_shape[p] for p in full)
         perm = full
+    elif rank == 4:
+        # ONNX-order 4-D tensor (GRU Y family): plain permutation,
+        # result stays ONNX-ordered.
+        out_shape = tuple(in_shape[p] for p in perm)
+        mark_onnx4d = True
     out = ctx.add_act(n.outputs[0], out_shape, ctx.dtype_of(x),
                       ctx.scales.get(x, 1.0))
+    if mark_onnx4d:
+        ctx.onnx4d.add(out)
     ctx.emit("TRANSPOSE", [x], [out], attrs=dict(perm=tuple(perm)),
              name=n.name)
 
@@ -568,14 +610,15 @@ def _h_gemm(ctx: _Ctx, n: OP.NodeProto) -> None:
 
 def _h_flatten(ctx: _Ctx, n: OP.NodeProto) -> None:
     x = ctx.resolve(n.inputs[0])
-    shape = ctx.shape_of(x)
-    out = ctx.add_act(n.outputs[0],
-                      (shape[0], int(np.prod(shape[1:]))),
-                      ctx.dtype_of(x), ctx.scales.get(x, 1.0))
-    ctx.emit("RESHAPE", [x], [out],
-             attrs=dict(new_shape=(shape[0], int(np.prod(shape[1:]))),
-                        src_layout="NHWC"),
-             name=n.name)
+    shape = list(ctx.shape_of(x))
+    if len(shape) == 4 and x not in ctx.onnx4d:   # flatten order is NCHW
+        shape = [shape[0], shape[3], shape[1], shape[2]]
+    axis = n.attr_i("axis", 1)
+    if axis < 0:
+        axis += len(shape)
+    tgt = (int(np.prod(shape[:axis])) if axis else 1,
+           int(np.prod(shape[axis:])) if axis < len(shape) else 1)
+    _emit_reshape_onnx(ctx, n, x, tgt)
 
 
 def _h_split(ctx: _Ctx, n: OP.NodeProto) -> None:
@@ -772,6 +815,7 @@ def _h_gru(ctx: _Ctx, n: OP.NodeProto) -> None:
     if b is not None:
         ins.append(ctx.add_const(f"{n.outputs[0]}__b", b.astype(np.float32)))
     y = ctx.add_act(n.outputs[0], (t, ndir, bsz, hidden), np.float32)
+    ctx.onnx4d.add(y)   # GRU Y is [T, dirs, B, H] ONNX order, not NHWC
     outs = [y]
     if len(n.outputs) > 1 and n.outputs[1]:
         yh = ctx.add_act(n.outputs[1], (ndir, bsz, hidden), np.float32)

@@ -96,6 +96,10 @@ def matmul_int8_requant(
     block_m = min(block_m, mp)
     block_n = min(block_n, np_)
     block_k = min(block_k, kp)
+    # K must pad to a multiple of block_k: the grid walks kp/block_k full
+    # blocks, so a ragged last block would read past the padded array
+    # (undefined data into the accumulator).
+    kp = _round_up(kp, block_k)
     if (m, n, k) != (mp, np_, kp):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
         w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))

@@ -595,8 +595,7 @@ def fc(
             preferred_element_type=jnp.int32)
         if bias is not None:
             acc = acc + bias.astype(jnp.int32)
-        cs = float(np.float32(np.float32(in_scale) * np.float32(w_scale))
-                   / np.float32(out_scale))
+        cs = _combined_scale(in_scale, w_scale, out_scale)
         out = requantize(acc, cs, RoundMode.HALF_AWAY)
     else:
         out = x @ w

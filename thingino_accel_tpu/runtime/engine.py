@@ -109,9 +109,11 @@ class Engine:
 
     # -- execution ----------------------------------------------------------
 
-    def _to_nhwc(self, x: np.ndarray) -> np.ndarray:
+    def _to_nhwc(self, x):
+        # jnp.transpose works uniformly on numpy and jax arrays — a
+        # jax.Array input must not skip the NCHW->NHWC conversion.
         if self.options.nchw_io and x.ndim == 4:
-            return np.transpose(x, (0, 2, 3, 1))
+            return jnp.transpose(x, (0, 2, 3, 1))
         return x
 
     def _from_nhwc(self, x: np.ndarray) -> np.ndarray:
@@ -136,8 +138,7 @@ class Engine:
                 raise ValueError(f"missing input {name!r}")
             x = np.asarray(feed[name]) if not isinstance(feed[name], jax.Array) \
                 else feed[name]
-            if isinstance(x, np.ndarray):
-                x = self._to_nhwc(x)
+            x = self._to_nhwc(x)
             want = self.graph.tensors[name].dtype
             feed[name] = jnp.asarray(x, dtype=want)
 

@@ -446,8 +446,12 @@ def _lower_node(
         bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
         xf = x.reshape(x.shape[0], -1)
         wm = w.reshape(-1, w.shape[-1]) if w.ndim > 2 else w
+        wt_info = tensors[node.inputs[1]]
+        ws = (wt_info.channel_scales
+              if wt_info.channel_scales is not None
+              else scale(node.inputs[1]))
         env[out_name] = R.fc(
-            xf, wm, bias, scale(node.inputs[0]), scale(node.inputs[1]),
+            xf, wm, bias, scale(node.inputs[0]), ws,
             scale(out_name), a.get("activation", "NONE") == "RELU")
 
     else:

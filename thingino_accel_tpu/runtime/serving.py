@@ -66,7 +66,8 @@ class StreamServer:
         order. Results are yielded as (still-async) jax pytrees; call
         ``jax.block_until_ready``/np.asarray to materialize."""
         inflight: collections.deque = collections.deque()
-        t_start = time.perf_counter()
+        self._t_start = time.perf_counter()
+        self._wall_base = self.stats.wall_s
         for batch in batches:
             t0 = time.perf_counter()
             try:
@@ -81,7 +82,6 @@ class StreamServer:
                 yield self._drain_one(inflight)
         while inflight:
             yield self._drain_one(inflight)
-        self.stats.wall_s += time.perf_counter() - t_start
 
     def _drain_one(self, inflight) -> Any:
         """Materialize the oldest in-flight batch. A failed batch (bad
@@ -96,9 +96,13 @@ class StreamServer:
             self.stats.errors += 1
             self.stats.batches += 1
             return None
-        self.stats.batch_latencies_s.append(time.perf_counter() - t0)
+        now = time.perf_counter()
+        self.stats.batch_latencies_s.append(now - t0)
         self.stats.frames += n
         self.stats.batches += 1
+        # keep wall_s live per drained batch (not only after a full run)
+        # so fps is meaningful for partially-consumed streams too
+        self.stats.wall_s = self._wall_base + (now - self._t_start)
         return out
 
 

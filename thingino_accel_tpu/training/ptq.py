@@ -98,14 +98,17 @@ def quantize_graph(
                         source_format=t.source_format)
         if t.is_const and name in conv_w and np.issubdtype(
                 np.asarray(t.data).dtype, np.floating):
-            # per-output-channel symmetric scales (axis 0 of OIHW) — the
-            # accuracy-critical improvement over the reference compiler's
-            # per-tensor absmax/127 rule
+            # per-output-channel symmetric scales — the accuracy-critical
+            # improvement over the reference compiler's per-tensor
+            # absmax/127 rule. Output channels sit on axis 0 for conv
+            # weights (OIHW/OHWI) but on the LAST axis for FC ([K, O]).
             data = np.asarray(t.data, np.float32)
-            axes = tuple(range(1, data.ndim))
+            ch_axis = data.ndim - 1 if conv_w[name].op == "FC" else 0
+            axes = tuple(i for i in range(data.ndim) if i != ch_axis)
             am = np.abs(data).max(axis=axes)
             sc = np.maximum(am / 127.0, 1e-8).astype(np.float32)
-            bshape = (-1,) + (1,) * (data.ndim - 1)
+            bshape = tuple(-1 if i == ch_axis else 1
+                           for i in range(data.ndim))
             nt.data = np.clip(np.round(data / sc.reshape(bshape)),
                               -128, 127).astype(np.int8)
             nt.dtype = nt.data.dtype
