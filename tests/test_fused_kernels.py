@@ -1,0 +1,206 @@
+"""Serving-tier fused kernel tests (interpret mode on CPU; the compiled
+path is exercised on hardware by bench/TAT_TPU_TESTS runs).
+
+Oracle: a numpy implementation of the serving epilogue —
+``q = clamp(round_half_away(act(acc * in_s*w_s) / out_s))`` — with the
+int32 conv accumulator computed exactly.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from thingino_accel_tpu.ops import fused_kernels as FK
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+def _conv_acc(x, w, stride, pads):
+    """int32 accumulator oracle, NHWC x HWIO."""
+    (pt, pb), (pl, pr) = pads
+    xp = np.pad(x.astype(np.int32), ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    n, h, wd, c = xp.shape
+    kh, kw, _, o = w.shape
+    oh = (h - kh) // stride[0] + 1
+    ow = (wd - kw) // stride[1] + 1
+    out = np.zeros((n, oh, ow, o), np.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = xp[:, dy:dy + (oh - 1) * stride[0] + 1:stride[0],
+                    dx:dx + (ow - 1) * stride[1] + 1:stride[1], :]
+            out += np.einsum("nhwc,co->nhwo", sl,
+                             w[dy, dx].astype(np.int32))
+    return out
+
+
+def _oracle(acc, bias, in_s, w_s, out_s, act, alpha=0.01):
+    if bias is not None:
+        acc = acc + bias.astype(np.int32)
+    ws = np.asarray(w_s, np.float32)
+    if act in ("NONE", "RELU"):
+        cs = (np.float32(in_s) * ws / np.float32(out_s)).astype(np.float32)
+        pre = acc.astype(np.float32) * cs
+        if act == "RELU":
+            pre = np.maximum(pre, 0.0)
+        scaled = pre
+    else:
+        cs = (np.float32(in_s) * ws).astype(np.float32)
+        pre = acc.astype(np.float32) * cs
+        if act == "LEAKY_RELU":
+            pre = np.where(pre >= 0, pre, np.float32(alpha) * pre)
+        elif act == "SILU":
+            pre = pre / (1.0 + np.exp(-pre)) if False else \
+                pre * (1.0 / (1.0 + np.exp(-pre.astype(np.float64)))
+                       ).astype(np.float32)
+        scaled = pre * np.float32(1.0 / np.float32(out_s))
+    shifted = scaled + np.where(scaled >= 0, np.float32(0.5),
+                                np.float32(-0.5))
+    return np.clip(np.trunc(shifted), -128, 127).astype(np.int8)
+
+
+@pytest.mark.parametrize("act", ["NONE", "RELU", "LEAKY_RELU", "SILU"])
+def test_matmul_fused_acts(rng, act):
+    m, k, n = 48, 96, 72
+    x = jnp.asarray(rng.integers(-128, 128, (m, k), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (k, n), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-3000, 3000, (n,), dtype=np.int32))
+    got = np.asarray(FK.matmul_int8_fused(x, w, b, 0.02, 0.015, 0.05,
+                                          act=act))
+    acc = np.asarray(x, np.int32) @ np.asarray(w, np.int32)
+    ref = _oracle(acc, np.asarray(b), 0.02, 0.015, 0.05, act)
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    # SILU epilogue: sigmoid impl may differ by 1 ulp at the round boundary
+    tol = 1 if act == "SILU" else 0
+    assert diff.max() <= tol, f"{act}: max diff {diff.max()}"
+
+
+def test_matmul_fused_per_channel(rng):
+    m, k, n = 32, 64, 40
+    x = jnp.asarray(rng.integers(-128, 128, (m, k), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (k, n), dtype=np.int8))
+    ws = rng.uniform(0.001, 0.05, n).astype(np.float32)
+    got = np.asarray(FK.matmul_int8_fused(x, w, None, 0.02, ws, 0.05,
+                                          act="RELU"))
+    acc = np.asarray(x, np.int32) @ np.asarray(w, np.int32)
+    ref = _oracle(acc, None, 0.02, ws, 0.05, "RELU")
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("k,stride,c,o", [
+    (3, 1, 32, 48),
+    (3, 2, 32, 48),
+    (6, 2, 3, 16),     # the YOLO stem shape class (im2col path)
+    (1, 1, 32, 64),    # matmul path
+    (5, 1, 16, 32),
+    (3, 2, 3, 8),      # thin input AND strided
+])
+def test_conv_fused_routes(rng, k, stride, c, o):
+    h = w = 16
+    pad = (k - 1) // 2
+    x = jnp.asarray(rng.integers(-128, 128, (2, h, w, c), dtype=np.int8))
+    wt = jnp.asarray(rng.integers(-64, 64, (k, k, c, o), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-500, 500, (o,), dtype=np.int32))
+    oh = (h + 2 * pad - k) // stride + 1
+    ow = (w + 2 * pad - k) // stride + 1
+    got = np.asarray(FK.conv2d_int8_fused(
+        x, wt, b, (oh, ow), (stride, stride), (1, 1),
+        ((pad, pad), (pad, pad)), 0.05, 0.02, 0.1, act="SILU"))
+    acc = _conv_acc(np.asarray(x), np.asarray(wt), (stride, stride),
+                    ((pad, pad), (pad, pad)))
+    ref = _oracle(acc, np.asarray(b), 0.05, 0.02, 0.1, "SILU")
+    assert got.shape == ref.shape
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_conv_fused_linear_exact_vs_reference(rng):
+    """For NONE/RELU + scalar scale the fused kernel must match the
+    exact-tier XLA path bit for bit (same combined-scale f32 math)."""
+    from thingino_accel_tpu.ops import reference as R
+    x = jnp.asarray(rng.integers(-128, 128, (2, 12, 12, 32), dtype=np.int8))
+    wt = jnp.asarray(rng.integers(-64, 64, (3, 3, 32, 48), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-500, 500, (48,), dtype=np.int32))
+    for stride in (1, 2):
+        oh = ow = (12 + 2 - 3) // stride + 1
+        got = np.asarray(FK.conv2d_int8_fused(
+            x, wt, b, (oh, ow), (stride, stride), (1, 1),
+            ((1, 1), (1, 1)), 0.05, 0.02, 0.1, act="RELU"))
+        ref = np.asarray(R.conv2d_int8(
+            x, wt, b, (oh, ow), (stride, stride), (1, 1),
+            ((1, 1), (1, 1)), 0.05, 0.02, 0.1, relu=True))
+        np.testing.assert_array_equal(got, ref, err_msg=f"stride {stride}")
+
+
+def test_wfold_weight_repack(rng):
+    w = rng.integers(-64, 64, (3, 3, 4, 8)).astype(np.int8)
+    wq = FK.repack_weights_wfold(w, 2)
+    assert wq.shape == (3, 2, 8, 8)
+    # every original tap value appears exactly once
+    assert np.sum(np.abs(wq.astype(np.int32))) == \
+        np.sum(np.abs(w.astype(np.int32)))
+
+
+def _fold_np(x, f):
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // f, f * c)
+
+
+@pytest.mark.parametrize("k,s,f_out,c,o", [
+    (3, 1, 1, 32, 48),
+    (3, 1, 2, 64, 64),
+    (3, 1, 4, 32, 32),
+    (3, 2, 1, 64, 128),
+    (3, 2, 2, 32, 64),
+    (1, 1, 2, 64, 32),
+    (5, 1, 1, 32, 32),
+    (6, 2, 2, 16, 32),
+])
+def test_conv_folded_vs_oracle(rng, k, s, f_out, c, o):
+    """Folded-layout conv == oracle on the logical tensors."""
+    h = w = 16
+    pad = (k - 1) // 2
+    g = s * f_out
+    x = rng.integers(-128, 128, (2, h, w, c), dtype=np.int8)
+    wt = rng.integers(-64, 64, (k, k, c, o), dtype=np.int8)
+    b = rng.integers(-500, 500, (o,), dtype=np.int32)
+    oh = (h + 2 * pad - k) // s + 1
+    ow = (w + 2 * pad - k) // s + 1
+    xf = jnp.asarray(_fold_np(x, g))
+    got_f = FK.conv2d_int8_folded(
+        xf, jnp.asarray(wt), jnp.asarray(b), (oh, ow), s,
+        ((pad, pad), (pad, pad)), 0.05, 0.02, 0.1,
+        act="RELU", f_out=f_out)
+    got = np.asarray(FK.unfold_layout(got_f, f_out, o))[:, :, :ow, :]
+    acc = _conv_acc(x, wt, (s, s), ((pad, pad), (pad, pad)))
+    ref = _oracle(acc, b, 0.05, 0.02, 0.1, "RELU")
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_conv_folded_concat_parts(rng):
+    """Conv consuming a folded channel-concat via weight permutation."""
+    h = w = 8
+    c1, c2, o, f = 16, 32, 32, 2
+    x1 = rng.integers(-100, 100, (1, h, w, c1), dtype=np.int8)
+    x2 = rng.integers(-100, 100, (1, h, w, c2), dtype=np.int8)
+    wt = rng.integers(-64, 64, (3, 3, c1 + c2, o), dtype=np.int8)
+    # folded concat: concat of folded parts (phys channel interleave)
+    xf = jnp.concatenate(
+        [jnp.asarray(_fold_np(x1, f)), jnp.asarray(_fold_np(x2, f))],
+        axis=-1)
+    got_f = FK.conv2d_int8_folded(
+        xf, jnp.asarray(wt), None, (h, w), 1, ((1, 1), (1, 1)),
+        0.05, 0.02, 0.1, act="SILU", f_out=f, parts=(c1, c2))
+    got = np.asarray(FK.unfold_layout(got_f, f, o))[:, :, :w, :]
+    x_cat = np.concatenate([x1, x2], axis=-1)
+    acc = _conv_acc(x_cat, wt, (1, 1), ((1, 1), (1, 1)))
+    ref = _oracle(acc, None, 0.05, 0.02, 0.1, "SILU")
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1

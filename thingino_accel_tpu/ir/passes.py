@@ -64,6 +64,48 @@ def fuse_silu_pairs(graph: Graph) -> List[Node]:
     return fused
 
 
+def fuse_act_into_conv(graph: Graph) -> Graph:
+    """Fold a standalone activation node (RELU / LEAKY_RELU / SILU /
+    SILU_FUSED) into the preceding CONV2D's ``activation`` attr when the
+    conv feeds only that node.
+
+    The serving tier's fused conv kernels apply the activation on the
+    f32 pre-activation inside the requantize epilogue — one intermediate
+    quantization fewer than the interpreter pipeline (reference analog:
+    the format's fused-activation field, ``include/mars.h:82-91``, which
+    the C runtime only honors for RELU, ``mars_runtime.c:701-707``).
+    Applies :func:`fuse_silu_pairs` first so SIGMOID+MUL pairs fold too.
+    """
+    graph.nodes = fuse_silu_pairs(graph)
+    consumers = graph.consumers()
+    producer = graph.producer_map()
+    out_set = set(graph.outputs)
+    fusable = {"RELU": "RELU", "LEAKY_RELU": "LEAKY_RELU",
+               "SILU": "SILU", "SILU_FUSED": "SILU"}
+    remove = set()
+    for i, node in enumerate(graph.nodes):
+        act = fusable.get(node.op)
+        if act is None:
+            continue
+        src = node.inputs[0]
+        prod = producer.get(src)
+        if (prod is None or prod.op != "CONV2D"
+                or prod.attrs.get("activation", "NONE") != "NONE"
+                or prod.attrs.get("dilation", (1, 1)) != (1, 1)
+                or len(consumers.get(src, [])) != 1
+                or src in out_set):
+            continue
+        prod.attrs["activation"] = act
+        if node.op == "LEAKY_RELU":
+            prod.attrs["alpha"] = node.attrs.get("alpha", 0.01) or 0.01
+        prod.outputs = list(node.outputs)
+        remove.add(i)
+    if remove:
+        graph.nodes = [n for i, n in enumerate(graph.nodes)
+                       if i not in remove]
+    return graph
+
+
 def fold_batchnorm(graph: Graph) -> Graph:
     """Fold BATCHNORM(conv_out) into the preceding f32 CONV2D's weights.
 

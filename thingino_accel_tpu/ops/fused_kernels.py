@@ -1,0 +1,630 @@
+"""Serving-tier fused int8 Pallas kernels: conv/matmul with the whole
+post-conv chain (bias + per-channel scale + activation + requantize)
+executed in VMEM before the single int8 HBM write.
+
+This is the TPU analog of the reference's inner MAC loop with the
+requantize epilogue inlined per output pixel (``src/mars/mxu_conv.c:
+144-252``), extended with what the reference's format *declares* but its
+runtime never fuses: per-layer activations (``include/mars.h:82-91``)
+and per-channel scales.
+
+Key design points (see docs/KERNELS.md):
+
+- int8 x int8 -> int32 ``dot_general`` runs at the MXU's full int8 rate
+  (~2x bf16; measured ~263 TOP/s on a v5e for the halo kernel) — the
+  serving tier therefore keeps activations int8 end to end.
+- Epilogue math: ``q = clamp(round(act(acc * pre_scale) * inv_out))``
+  where ``pre_scale = in_scale * w_scale`` (scalar or per-channel) and
+  ``inv_out = 1/out_scale``. For linear/RELU activations this folds to
+  the reference's single combined-scale multiply; SiLU / LeakyReLU are
+  computed on the f32 pre-activation, which the int8 interpreter cannot
+  express without an intermediate quantization.
+- Strided convs are phase-decomposed (space-to-depth) OUTSIDE the
+  kernel: a KxK/s conv becomes a ceil(K/s)^2 stride-1 conv over s^2*C
+  channels, which the halo kernel handles and which *raises* MXU lane
+  utilization. Mosaic has no strided VMEM slices, so this is also the
+  only way to run downsample convs through the halo pipeline.
+- Thin-input convs (C < 16, e.g. a 6x6/2 stem on RGB) go through an
+  explicit im2col so the matmul contraction dim is K*K*C (e.g. 108)
+  instead of C (3) — lane utilization 84% instead of 2%.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from thingino_accel_tpu.ops.pallas_kernels import _PL_ELEMENT, _cdiv, _round_up
+
+ACTS = ("NONE", "RELU", "LEAKY_RELU", "SILU")
+
+
+def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
+              alpha: float):
+    """int32 accumulator tile -> int8, entirely in registers/VMEM.
+
+    acc: [M, N] int32; bias_row/cs_row: [1, N] (broadcast rows).
+    Round rule: half away from zero (the reference conv rule,
+    ``src/mars/mxu_conv.c:222-229``).
+    """
+    acc = acc + bias_row.astype(jnp.int32)
+    pre = acc.astype(jnp.float32) * cs_row
+    if act == "RELU":
+        pre = jnp.maximum(pre, 0.0)
+    elif act == "LEAKY_RELU":
+        pre = jnp.where(pre >= 0, pre, jnp.float32(alpha) * pre)
+    elif act == "SILU":
+        pre = pre * jax.nn.sigmoid(pre)
+    scaled = pre * jnp.float32(inv_out)
+    shifted = scaled + jnp.where(
+        scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+    return jnp.clip(jnp.trunc(shifted), -128, 127).astype(jnp.int8)
+
+
+def _scale_rows(
+    bias: Optional[jax.Array], w_scale, in_scale: float, out_scale: float,
+    act: str, n: int, np_: int,
+) -> Tuple[jax.Array, jax.Array, float]:
+    """Build the [1, Np] bias and combined-scale rows + inv_out scalar.
+
+    Linear/RELU: cs = in*w/out, inv_out = 1 (single multiply, matching
+    the reference combined-scale path bit for bit when w_scale is a
+    scalar). Nonlinear: cs = in*w, inv_out = 1/out (two-step)."""
+    ws = jnp.asarray(w_scale, jnp.float32)
+    if ws.ndim == 0:
+        ws = jnp.full((n,), ws, jnp.float32)
+    cs = jnp.float32(in_scale) * ws
+    if act in ("NONE", "RELU"):
+        cs = cs / jnp.float32(out_scale)
+        inv_out = 1.0
+    else:
+        inv_out = float(1.0 / np.float32(out_scale))
+    cs = jnp.pad(cs, (0, np_ - n)).reshape(1, np_)
+    b = bias if bias is not None else jnp.zeros((n,), jnp.int32)
+    b = jnp.pad(b, (0, np_ - n)).reshape(1, np_)
+    return b, cs, inv_out
+
+
+# ---------------------------------------------------------------------------
+# Fused matmul (1x1 convs, FC, im2col'd convs)
+# ---------------------------------------------------------------------------
+
+
+def _mm_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, acc_ref, *,
+               n_k: int, act: str, inv_out: float, alpha: float):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = _epilogue(acc_ref[:], bias_ref[:], cs_ref[:],
+                               act=act, inv_out=inv_out, alpha=alpha)
+
+
+def matmul_int8_fused(
+    x: jax.Array,                # [M, K] int8
+    w: jax.Array,                # [K, N] int8
+    bias: Optional[jax.Array],   # [N] int32
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+    block_m: int = 512,
+    block_n: int = 256,
+    block_k: int = 512,
+) -> jax.Array:
+    """``int8 = requant(act((x@w + b) * s))`` with per-channel ``w_scale``
+    support; accumulator resident in VMEM across the K loop."""
+    m, k = x.shape
+    _, n = w.shape
+    mp, np_, kp = _round_up(m, 32), _round_up(n, 128), _round_up(k, 128)
+    block_m = min(block_m, mp)
+    block_n = min(block_n, np_)
+    block_k = min(block_k, kp)
+    kp = _round_up(kp, block_k)   # grid walks full K blocks only
+    if (m, n, k) != (mp, np_, kp):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+        w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    b, cs, inv_out = _scale_rows(
+        bias, w_scale, in_scale, out_scale, act, n, np_)
+
+    n_k = _cdiv(kp, block_k)
+    grid = (_cdiv(mp, block_m), _cdiv(np_, block_n), n_k)
+    kernel = functools.partial(
+        _mm_kernel, n_k=n_k, act=act, inv_out=inv_out, alpha=alpha)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x, w, b, cs)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Fused halo conv — any square stride, zero data shuffles
+# ---------------------------------------------------------------------------
+#
+# Stride handling without strided VMEM slices (Mosaic has none on tiled
+# dims) and without space-to-depth transposes (XLA transposes of thin
+# int8 tensors are HBM-padding catastrophes):
+#
+# - W stride: fold the W phase into channels with a FREE reshape —
+#   [N, H, W, C] -> [N, H, W/s, s*C] is layout-identical (W*C minor
+#   order groups s adjacent pixels). Weights repack to
+#   [KH, ceil(KW/s), s*C, O] at load time.
+# - H stride: the halo row-slab arrives in VMEM; rows are an UNTILED
+#   dim (tiling covers the last two dims only), so the kernel reshapes
+#   the slab rows -> (rows/s, s, ...) for free and indexes the phase
+#   statically. No strided access anywhere.
+
+
+def _halo_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, *,
+                 kh: int, qw: int, s: int, tile_h: int, ow: int,
+                 act: str, inv_out: float, alpha: float):
+    # x_ref: [1, halo_pairs, s, Wq, Cq] — rows pre-split into (row/s, s)
+    # phases by a FREE reshape outside the kernel (untiled dims).
+    # w_ref: [kh*qw, Cq, block_n]; bias/cs: [1, block_n]
+    cq = x_ref.shape[4]
+    slab = x_ref[0]                                    # [pairs, s, Wq, Cq]
+    acc = None
+    for dy in range(kh):
+        qy, py = divmod(dy, s)
+        for qx in range(qw):
+            sl = slab[qy:qy + tile_h, py, qx:qx + ow, :]   # [tile_h, ow, Cq]
+            p = jax.lax.dot_general(
+                sl.reshape(tile_h * ow, cq), w_ref[dy * qw + qx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = p if acc is None else acc + p
+    q = _epilogue(acc, bias_ref[:], cs_ref[:],
+                  act=act, inv_out=inv_out, alpha=alpha)
+    out_ref[:] = q.reshape(1, tile_h, ow, -1)
+
+
+def repack_weights_wfold(w_hwio, s: int):
+    """[KH, KW, C, O] -> [KH, ceil(KW/s), s*C, O]: W-phase px of tap dx
+    lands in channel block px*C (matching the free [W/s, s*C] input
+    reshape). Pure pad + reshape — traceable on device weights."""
+    kh, kw, c, o = w_hwio.shape
+    qw = _cdiv(kw, s)
+    if qw * s != kw:
+        w_hwio = jnp.pad(w_hwio, ((0, 0), (0, qw * s - kw),
+                                  (0, 0), (0, 0)))
+    return w_hwio.reshape(kh, qw, s * c, o)
+
+
+def conv2d_int8_halo_fused(
+    x: jax.Array,                # [N, H, W, C] int8
+    w_hwio: jax.Array,           # [KH, KW, C, O] int8
+    bias: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+    stride: int = 1,
+    tile_h: Optional[int] = None,
+    block_n: int = 256,
+    w_pre_packed: Optional[jax.Array] = None,
+) -> jax.Array:
+    """KxK int8 conv (square stride s >= 1), halo-tiled: each output
+    row-tile's input slab crosses HBM exactly once; taps are static VMEM
+    slices; the epilogue (bias / per-channel scale / activation /
+    requantize) runs before the single int8 write.
+
+    ``w_pre_packed``: [KH, ceil(KW/s), s*C, O] from
+    :func:`repack_weights_wfold`, to skip the per-call repack."""
+    s = stride
+    n, h, wd, c = x.shape
+    if w_pre_packed is not None:
+        kh, qw, sc, o = w_pre_packed.shape
+    else:
+        kh, kw, _, o = w_hwio.shape
+        qw, sc = _cdiv(kw, s), s * c
+    oh, ow = out_hw
+    (pt, pb), (pl_, pr) = pads
+    # pad W so the folded width covers every tap: need (ow-1) + qw cols
+    # of s*C each -> (ow - 1 + qw) * s pixels
+    need_w = (ow - 1 + qw) * s
+    pr = max(pr, need_w - (wd + pl_))
+    xp = jnp.pad(x, ((0, 0), (pt, 0), (pl_, pr), (0, 0)))
+    # FREE reshape: fold W phases into channels
+    wq_cols = xp.shape[2] // s
+    xr = xp[:, :, :wq_cols * s, :].reshape(n, xp.shape[1], wq_cols, sc)
+
+    cp = _round_up(sc, 128)
+    op = _round_up(o, 128)
+    block_n = min(block_n, op)
+    if cp != sc:
+        xr = jnp.pad(xr, ((0, 0), (0, 0), (0, 0), (0, cp - sc)))
+    wk = w_pre_packed if w_pre_packed is not None else \
+        repack_weights_wfold(w_hwio, s)
+    wk = jnp.pad(wk, ((0, 0), (0, 0), (0, cp - sc), (0, op - o)))
+    wk = wk.reshape(kh * qw, cp, op)
+    b, cs, inv_out = _scale_rows(bias, w_scale, in_scale, out_scale,
+                                 act, o, op)
+
+    if tile_h is None:
+        # target M = tile_h*ow ~ 1280-2048 rows per matmul tile: big
+        # enough to amortize tap-loop overhead, small enough for VMEM
+        tile_h = max(8, 1280 // max(ow, 1))
+    tile_h = min(tile_h, oh)
+    n_tiles_h = _cdiv(oh, tile_h)
+    # slab row-pairs per tile: output row r + tap dy reads pair r + dy//s,
+    # phase dy % s -> pairs [ti*tile_h, ti*tile_h + tile_h + qh_max)
+    qh_max = (kh - 1) // s
+    halo_pairs = tile_h + qh_max
+    need_rows = s * ((n_tiles_h - 1) * tile_h + halo_pairs)
+    if xr.shape[1] < need_rows:
+        xr = jnp.pad(xr, ((0, 0), (0, need_rows - xr.shape[1]),
+                          (0, 0), (0, 0)))
+    wq_tot = xr.shape[2]
+    # FREE reshape (untiled dims): split rows into (pairs, phase)
+    xr = xr[:, :need_rows].reshape(n, need_rows // s, s, wq_tot, cp)
+
+    grid = (n, n_tiles_h, _cdiv(op, block_n))
+    kernel = functools.partial(
+        _halo_kernel, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow,
+        act=act, inv_out=inv_out, alpha=alpha)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_PL_ELEMENT(1), _PL_ELEMENT(halo_pairs), _PL_ELEMENT(s),
+                 _PL_ELEMENT(wq_tot), _PL_ELEMENT(cp)),
+                lambda ni, ti, oi: (ni, ti * tile_h, 0, 0, 0)),
+            pl.BlockSpec((kh * qw, cp, block_n),
+                         lambda ni, ti, oi: (0, 0, oi)),
+            pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
+            pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, ow, block_n),
+            lambda ni, ti, oi: (ni, ti, 0, oi)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n_tiles_h * tile_h, ow, op), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+    )(xr, wk, b, cs)
+    return out[:, :oh, :, :o]
+
+
+# ---------------------------------------------------------------------------
+# Thin-input conv via explicit im2col (stem convs, C < 16)
+# ---------------------------------------------------------------------------
+
+
+def conv2d_int8_im2col_fused(
+    x: jax.Array,                # [N, H, W, C] int8, small C
+    w_hwio: jax.Array,           # [KH, KW, C, O]
+    bias: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    stride: Tuple[int, int],
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+) -> jax.Array:
+    """Gather KxK patches into the channel dim (contraction K*K*C, e.g.
+    6*6*3 = 108 for a YOLO stem) and run one fused matmul. The patch
+    tensor is int8 and costs K*K*C/C x the input in HBM — acceptable for
+    thin stems, catastrophic for wide layers (use halo/s2d there)."""
+    n, h, wd, c = x.shape
+    kh, kw, _, o = w_hwio.shape
+    oh, ow = out_hw
+    (pt, pb), (pl_, pr) = pads
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
+    cols = []
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (n, dy + (oh - 1) * stride[0] + 1,
+                 dx + (ow - 1) * stride[1] + 1, c),
+                (1, stride[0], stride[1], 1))
+            cols.append(sl)
+    patches = jnp.concatenate(cols, axis=-1)        # [N, OH, OW, K*K*C]
+    wm = jnp.asarray(w_hwio).reshape(kh * kw * c, o)
+    out = matmul_int8_fused(
+        patches.reshape(n * oh * ow, kh * kw * c), wm, bias,
+        in_scale, w_scale, out_scale, act, alpha)
+    return out.reshape(n, oh, ow, o)
+
+
+# ---------------------------------------------------------------------------
+# Fold-layout convs: activations stored [B, H, W/f, f*C]
+# ---------------------------------------------------------------------------
+#
+# Sub-128-channel int8 NHWC tensors are padded to 128 lanes in HBM
+# (C=64 -> 2x capacity+traffic; C=3 -> 42x) and waste the same fraction
+# of every MXU pass. The serving tier therefore stores activations
+# *W-folded*: f adjacent pixels share one 128-lane row, with f halving
+# at each stride-2 conv so the layout is globally consistent (s=1 convs
+# keep f; s=2 convs take f_in = 2*f_out — exactly the W-phase fold the
+# strided halo kernel already consumes). Folding is free at the
+# producer (the conv writes f_out pixels per output row) and free at
+# the consumer (weights are repacked once); only layout boundaries
+# (graph outputs, non-conv spatial ops) pay an unfold reshape.
+
+
+def repack_weights_folded(
+    w_hwio,                      # [KH, KW, C, O]
+    s: int,                      # square stride
+    f_out: int,                  # output fold (f_in = s * f_out)
+    pad_left: int = 0,           # conv's left pad, absorbed into taps
+    parts: Optional[Tuple[int, ...]] = None,   # input = concat of parts
+):
+    """[KH, KW, C, O] -> [KH, QW, g*C, f_out*O], g = s*f_out.
+
+    Output fold-pixel (j, p) at tap (dy, dx) reads input real column
+    s*(f_out*j + p) + dx - pad_left = g*(j-1) + t with
+    t = s*p + dx - pad_left + g  in [0, 2g + ...): the +g shift makes
+    one zero fold-group of left padding suffice (requires pad_left < g,
+    true for every kernel the tier runs: pad = (k-1)//2 < k <= g*?).
+
+    ``parts``: when the logical input is a channel-concat of folded
+    tensors, phys channel u of the folded concat maps to
+    (part i, phase p, channel c) — the repack bakes that permutation in.
+    """
+    kh, kw, c, o = w_hwio.shape
+    g = s * f_out
+    parts = tuple(parts) if parts else (c,)
+    assert sum(parts) == c, (parts, c)
+    t_max = s * (f_out - 1) + kw - 1 - pad_left
+    q_shift = _cdiv(pad_left, g)                # leading zero groups
+    qw = q_shift + max(0, t_max) // g + 1
+    is_np = isinstance(w_hwio, np.ndarray)
+    out = (np.zeros if is_np else jnp.zeros)(
+        (kh, qw, g * c, f_out * o),
+        w_hwio.dtype if is_np else w_hwio.dtype)
+    # phys channel layout of a folded concat: part i occupies the block
+    # [off_i*g, off_i*g + g*ci) as (phase u, channel c) -> u*ci + c
+    part_off, acc = [], 0
+    for ci in parts:
+        part_off.append(acc)
+        acc += ci
+    for p in range(f_out):
+        for dx in range(kw):
+            t = s * p + dx - pad_left + q_shift * g
+            qx, u_px = divmod(t, g)
+            for base, ci in zip(part_off, parts):
+                src = w_hwio[:, dx, base:base + ci, :]
+                dst_c = base * g + u_px * ci
+                if is_np:
+                    out[:, qx, dst_c:dst_c + ci,
+                        p * o:(p + 1) * o] = src
+                else:
+                    out = out.at[:, qx, dst_c:dst_c + ci,
+                                 p * o:(p + 1) * o].set(src)
+    return out, q_shift, qw
+
+
+def conv2d_int8_folded(
+    x_folded: jax.Array,         # [N, H, Wg, g*C] int8 (g = s*f_out)
+    w_hwio: jax.Array,           # [KH, KW, C, O] (unpacked)
+    bias: Optional[jax.Array],
+    logical_out_hw: Tuple[int, int],
+    stride: int,
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],   # (pt,pb),(pl,pr)
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+    f_out: int = 1,
+    parts: Optional[Tuple[int, ...]] = None,
+    tile_h: Optional[int] = None,
+    block_n: int = 512,
+) -> jax.Array:
+    """Folded-layout conv: consumes [N, H, Wg, g*C], emits
+    [N, OH, OWg, f_out*O]. One jnp.pad (H halo + one W fold-group of
+    left padding); everything else is static VMEM slicing."""
+    s = stride
+    g = s * f_out
+    n, h, wg, gc = x_folded.shape
+    kh, kw, c, o = w_hwio.shape
+    oh, ow = logical_out_hw
+    ow_g = _cdiv(ow, f_out)
+    (pt, pb), (pl_, pr) = pads
+
+    wk, q_shift, qw = repack_weights_folded(
+        w_hwio, s, f_out, pad_left=pl_, parts=parts)
+
+    cp = _round_up(gc, 128)
+    no = f_out * o
+    op = _round_up(no, 128)
+    block_n = min(block_n, op)
+    wk = wk.reshape(kh * qw, g * c, no)
+    wk = jnp.pad(jnp.asarray(wk), ((0, 0), (0, cp - gc), (0, op - no)))
+
+    # bias / combined-scale rows tiled across output phases
+    ws = jnp.asarray(w_scale, jnp.float32)
+    if ws.ndim == 0:
+        ws = jnp.full((o,), ws, jnp.float32)
+    b0 = bias if bias is not None else jnp.zeros((o,), jnp.int32)
+    b_t = jnp.tile(b0, f_out)
+    ws_t = jnp.tile(ws, f_out)
+    b, cs, inv_out = _scale_rows(b_t, ws_t, in_scale, out_scale, act, no, op)
+
+    if tile_h is None:
+        tile_h = max(8, 1280 // max(ow_g, 1))
+    tile_h = min(tile_h, oh)
+    n_tiles_h = _cdiv(oh, tile_h)
+
+    # W: q_shift zero groups left; right cover (ow_g - 1) + qw groups
+    need_wg = (ow_g - 1) + qw
+    pad_wl = q_shift
+    pad_wr = max(0, need_wg - pad_wl - wg)
+    # H: pt rows top; bottom to s * ((n_tiles-1)*tile_h + tile_h + qh)
+    qh_max = (kh - 1) // s
+    halo_pairs = tile_h + qh_max
+    need_rows = s * ((n_tiles_h - 1) * tile_h + halo_pairs)
+    pad_hb = max(0, need_rows - (h + pt))
+    if pt or pad_hb or pad_wl or pad_wr or cp != gc:
+        x_folded = jnp.pad(x_folded, ((0, 0), (pt, pad_hb),
+                                      (pad_wl, pad_wr), (0, cp - gc)))
+    wq_tot = x_folded.shape[2]
+    x5 = x_folded[:, :need_rows].reshape(n, need_rows // s, s, wq_tot, cp)
+
+    grid = (n, n_tiles_h, _cdiv(op, block_n))
+    kernel = functools.partial(
+        _halo_kernel, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow_g,
+        act=act, inv_out=inv_out, alpha=alpha)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_PL_ELEMENT(1), _PL_ELEMENT(halo_pairs), _PL_ELEMENT(s),
+                 _PL_ELEMENT(wq_tot), _PL_ELEMENT(cp)),
+                lambda ni, ti, oi: (ni, ti * tile_h, 0, 0, 0)),
+            pl.BlockSpec((kh * qw, cp, block_n),
+                         lambda ni, ti, oi: (0, 0, oi)),
+            pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
+            pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, ow_g, block_n),
+            lambda ni, ti, oi: (ni, ti, 0, oi)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n_tiles_h * tile_h, ow_g, op), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+    )(x5, wk, b, cs)
+    out = out[:, :oh]
+    if op != no:
+        out = out[..., :no]
+    return out
+
+
+def unfold_layout(x_folded: jax.Array, f: int, c: int) -> jax.Array:
+    """[N, H, Wg, f*C] -> [N, H, Wg*f, C] (logical NHWC). Free in linear
+    element order; XLA may insert a relayout for C < 128."""
+    n, h, wg, fc = x_folded.shape
+    assert fc == f * c, (fc, f, c)
+    return x_folded.reshape(n, h, wg * f, c)
+
+
+def fold_layout(x: jax.Array, f: int) -> jax.Array:
+    """[N, H, W, C] -> [N, H, W/f, f*C]."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // f, f * c)
+
+
+# ---------------------------------------------------------------------------
+# Thin-input stem via XLA bf16 (exact)
+# ---------------------------------------------------------------------------
+
+
+def conv2d_int8_stem_fused(
+    x: jax.Array,                # [N, H, W, C] int8, C < 16
+    w_hwio: jax.Array,
+    bias: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    stride: Tuple[int, int],
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+) -> jax.Array:
+    """Stem convs (RGB input) through XLA's native conv emitter.
+
+    int8 values are exactly representable in bf16 (|v| <= 127 < 2^8) and
+    per-element products accumulate exactly in f32 (sums < 2^24 for a
+    6x6x3 stem), so ``conv(bf16, bf16) -> f32`` reproduces the int32
+    accumulator bit for bit — while XLA picks a thin-channel layout that
+    avoids the (8,128) int8 tiling blowup (42x HBM padding for C=3) that
+    makes materialized thin int8 tensors unusable."""
+    accf = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w_hwio.astype(jnp.bfloat16),
+        stride, pads, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    o = w_hwio.shape[3]
+    if bias is not None:
+        accf = accf + bias.astype(jnp.float32)
+    ws = jnp.asarray(w_scale, jnp.float32)
+    if ws.ndim == 0:
+        ws = jnp.full((o,), ws, jnp.float32)
+    if act in ("NONE", "RELU"):
+        pre = accf * (jnp.float32(in_scale) * ws / jnp.float32(out_scale))
+        if act == "RELU":
+            pre = jnp.maximum(pre, 0.0)
+        scaled = pre
+    else:
+        pre = accf * (jnp.float32(in_scale) * ws)
+        if act == "LEAKY_RELU":
+            pre = jnp.where(pre >= 0, pre, jnp.float32(alpha) * pre)
+        elif act == "SILU":
+            pre = pre * jax.nn.sigmoid(pre)
+        scaled = pre * jnp.float32(float(1.0 / np.float32(out_scale)))
+    shifted = scaled + jnp.where(
+        scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+    return jnp.clip(jnp.trunc(shifted), -128, 127).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def conv2d_int8_fused(
+    x: jax.Array,
+    w_hwio: jax.Array,
+    bias: Optional[jax.Array],
+    out_hw: Tuple[int, int],
+    stride: Tuple[int, int],
+    dilation: Tuple[int, int],
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+) -> jax.Array:
+    """Route an int8 conv to the best fused kernel:
+
+    - 1x1 stride-1:  matmul
+    - C < 16:        im2col + matmul (lane utilization; callers should
+                     prefer an XLA bf16 stem at large batch — thin int8
+                     NHWC tensors pad 42x in HBM)
+    - else:          strided halo (any square stride, W-phase folded)
+    """
+    n, h, wd, c = x.shape
+    kh, kw, _, o = w_hwio.shape
+    if dilation != (1, 1):
+        raise ValueError("fused kernels support dilation 1 only")
+    if act not in ACTS:
+        raise ValueError(f"unsupported fused activation {act!r}")
+    if kh == kw == 1 and stride == (1, 1) and pads == ((0, 0), (0, 0)):
+        out = matmul_int8_fused(
+            x.reshape(n * h * wd, c), w_hwio.reshape(c, o), bias,
+            in_scale, w_scale, out_scale, act, alpha)
+        return out.reshape(n, h, wd, o)
+    if stride[0] != stride[1]:
+        raise ValueError("fused conv needs square stride")
+    if c < 16:
+        return conv2d_int8_stem_fused(
+            x, w_hwio, bias, out_hw, stride, pads,
+            in_scale, w_scale, out_scale, act, alpha)
+    return conv2d_int8_halo_fused(
+        x, w_hwio, bias, out_hw, pads,
+        in_scale, w_scale, out_scale, act, alpha, stride=stride[0])

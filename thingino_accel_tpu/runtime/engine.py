@@ -34,8 +34,15 @@ class EngineOptions(ExecOptions):
     - ``"exact"``  — bit-exact int8 integer path (the parity tier,
       mirroring the reference's requantization semantics to the bit).
     - ``"fast"``   — int8 storage, bf16 MXU compute: the graph is
-      dequantized at load (``ir.passes.dequantize_graph``); measured
-      ~8.6x faster on yolov5s@640/v5e. int8 I/O preserved at the edges.
+      dequantized at load (``ir.passes.dequantize_graph``); int8 I/O
+      preserved at the edges.
+    - ``"serving"`` — int8 storage AND int8 MXU compute (2x bf16 peak)
+      through the fused pallas kernels (``ops.fused_kernels``):
+      activations fold into the conv requantize epilogue
+      (``ir.passes.fuse_act_into_conv``), so each conv costs one int8
+      HBM read + one int8 write. Same integer semantics as "exact" for
+      linear/RELU convs; SiLU/Leaky are applied on the f32
+      pre-activation (one fewer intermediate quantization).
     """
 
     nchw_io: bool = False       # accept/return NCHW (the .mars declared layout)
@@ -57,6 +64,12 @@ class Engine:
             if self.options.compute_dtype == jnp.float32:
                 self.options = dataclasses.replace(
                     self.options, compute_dtype=jnp.bfloat16)
+        elif self.options.precision == "serving" and \
+                self.options.mode == "full":
+            graph = passes.fuse_act_into_conv(graph)
+            if self.options.conv_backend is None:
+                self.options = dataclasses.replace(
+                    self.options, conv_backend="fused")
         if self.options.fold_bn and self.options.mode == "full":
             graph = passes.fold_batchnorm(graph)
         self.graph = graph

@@ -182,6 +182,20 @@ def _lower_node(
                     x, w, bias, groups, out_hw, a["stride"], a["dilation"],
                     pads, scale(node.inputs[0]), ws, scale(out_name),
                     opts.round_mode, relu)
+            elif (opts.conv_backend == "fused"
+                    and a["dilation"] == (1, 1)
+                    and a["stride"][0] == a["stride"][1]):
+                # serving tier: fused pallas kernels with the activation
+                # (incl. SILU/LEAKY) folded into the requant epilogue
+                from thingino_accel_tpu.ops import fused_kernels as FK
+                f_act = act if act in FK.ACTS else "NONE"
+                out = FK.conv2d_int8_fused(
+                    x, w, bias, out_hw, a["stride"], a["dilation"], pads,
+                    scale(node.inputs[0]), ws, scale(out_name),
+                    act=f_act, alpha=a.get("alpha", 0.01) or 0.01)
+                if f_act == act:
+                    env[out_name] = out
+                    return   # epilogue consumed the activation
             else:
                 backend = opts.conv_backend
                 if not np.isscalar(ws) and getattr(ws, "ndim", 0):
