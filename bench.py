@@ -7,9 +7,11 @@ device in one jitted program. Baseline (north star): 10,000 fps.
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs:
-  TAT_BENCH_BATCH   batch size (default: sweep 8/16/32, report best)
-  TAT_BENCH_ITERS   timed iterations per measurement (default 10)
+  TAT_BENCH_BATCH   batch size (default 128)
+  TAT_BENCH_ITERS   timed iterations per measurement (default 30)
   TAT_BENCH_MODEL   yolov5 size letter (default "s")
+  TAT_BENCH_EXACT   1 = bit-exact int8 tier instead of the fast tier
+  TAT_BENCH_F32ACC  1 = f32 conv accumulation (default bf16)
 """
 
 from __future__ import annotations
@@ -51,10 +53,11 @@ def build_pipeline(batch: int, size: str):
         lb = yolo.letterbox_uint8(frames_u8, (640, 640))
         x = yolo.quantize_input_int8(lb)
         feats = body(params, {in_name: x})
-        heads = [feats[k] if s == 1.0
-                 else feats[k].astype(jnp.float32) * jnp.float32(s)
-                 for k, s in zip(out_names, out_scales)]
-        boxes, scores, classes = yolo.decode_and_parse(heads)
+        heads = [feats[k] for k in out_names]
+        # int8 heads decode directly (scales applied on the consumed
+        # channels only) — one 1-byte HBM pass instead of f32 copies
+        boxes, scores, classes = yolo.decode_and_parse(
+            heads, scales=out_scales)
         dets = yolo.nms_batched(boxes, scores, classes, max_dets=100)
         return dets.boxes, dets.scores, dets.classes, dets.valid
 

@@ -70,9 +70,14 @@ def letterbox_uint8(
     th, tw = target
     scale = min(tw / w, th / h)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    resized = jax.image.resize(
-        frames.astype(jnp.float32), (b, nh, nw, c), method="bilinear")
-    resized = jnp.clip(jnp.round(resized), 0, 255).astype(jnp.uint8)
+    if (nh, nw) == (h, w):
+        resized = frames          # already target-scaled: skip the
+    else:                         # f32 resize round-trip entirely
+        resized = jax.image.resize(
+            frames.astype(jnp.float32), (b, nh, nw, c), method="bilinear")
+        resized = jnp.clip(jnp.round(resized), 0, 255).astype(jnp.uint8)
+    if (nh, nw) == (th, tw):
+        return resized
     py, px = (th - nh) // 2, (tw - nw) // 2
     return jnp.pad(
         resized,
@@ -192,6 +197,7 @@ def decode_and_parse(
     anchors: np.ndarray = YOLOV5_ANCHORS,
     strides: Sequence[int] = YOLOV5_STRIDES,
     num_classes: int = 80,
+    scales: Optional[Sequence[float]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused head decode + parse: raw logit feature maps ->
     (boxes_xywh [B,N,4], conf [B,N], classes [B,N]).
@@ -202,13 +208,22 @@ def decode_and_parse(
     max(sigmoid(x)) == sigmoid(max(x))) — skipping the elementwise
     sigmoid over all `num_classes` channels of every anchor, the bulk of
     the postprocess HBM traffic.
+
+    ``scales``: per-head dequant scales for int8 heads — the max/argmax
+    run on the raw int8 values (monotonic for scale > 0) and only the
+    handful of consumed channels are dequantized, so the head tensors
+    cross HBM once at 1 byte/element instead of being materialized f32.
     """
     all_boxes, all_conf, all_cls = [], [], []
     for i, feat in enumerate(feats):
         b, h, w, ch = feat.shape
         a = anchors.shape[1]
+        sc = jnp.float32(scales[i]) if scales is not None else None
         x = feat.reshape(b, h, w, a, 5 + num_classes)
-        sig5 = jax.nn.sigmoid(x[..., 0:5].astype(jnp.float32))
+        x5 = x[..., 0:5].astype(jnp.float32)
+        if sc is not None:
+            x5 = x5 * sc
+        sig5 = jax.nn.sigmoid(x5)
         gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
         grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]
@@ -218,6 +233,8 @@ def decode_and_parse(
         obj = sig5[..., 4]
         cls_logits = x[..., 5:]
         best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
+        if sc is not None:
+            best_logit = best_logit * sc
         conf = obj * jax.nn.sigmoid(best_logit)
         cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         n = h * w * a

@@ -124,6 +124,7 @@ def matmul_int8_fused(
     block_m: int = 512,
     block_n: int = 256,
     block_k: int = 512,
+    keep_phys: bool = False,
 ) -> jax.Array:
     """``int8 = requant(act((x@w + b) * s))`` with per-channel ``w_scale``
     support; accumulator resident in VMEM across the K loop."""
@@ -159,6 +160,8 @@ def matmul_int8_fused(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(x, w, b, cs)
+    if keep_phys:
+        return out[:m] if mp != m else out
     return out[:m, :n]
 
 
@@ -392,27 +395,35 @@ def repack_weights_folded(
     kh, kw, c, o = w_hwio.shape
     g = s * f_out
     parts = tuple(parts) if parts else (c,)
-    assert sum(parts) == c, (parts, c)
+    # negative entries are raw phys padding channels inside a group
+    # (producers emit lane-padded groups; pads carry zero weights)
+    assert sum(ci for ci in parts if ci > 0) == c, (parts, c)
     t_max = s * (f_out - 1) + kw - 1 - pad_left
     q_shift = _cdiv(pad_left, g)                # leading zero groups
     qw = q_shift + max(0, t_max) // g + 1
+    # phys channel layout of a folded (possibly padded) concat:
+    # logical part ci occupies g*ci phys as (phase u, channel c) ->
+    # u*ci + c; a pad entry -k occupies k raw phys channels
+    placements = []   # (logical_off, ci, phys_base)
+    log_off = phys_base = 0
+    for ci in parts:
+        if ci < 0:
+            phys_base += -ci
+        else:
+            placements.append((log_off, ci, phys_base))
+            log_off += ci
+            phys_base += g * ci
+    phys_total = phys_base
     is_np = isinstance(w_hwio, np.ndarray)
     out = (np.zeros if is_np else jnp.zeros)(
-        (kh, qw, g * c, f_out * o),
-        w_hwio.dtype if is_np else w_hwio.dtype)
-    # phys channel layout of a folded concat: part i occupies the block
-    # [off_i*g, off_i*g + g*ci) as (phase u, channel c) -> u*ci + c
-    part_off, acc = [], 0
-    for ci in parts:
-        part_off.append(acc)
-        acc += ci
+        (kh, qw, phys_total, f_out * o), w_hwio.dtype)
     for p in range(f_out):
         for dx in range(kw):
             t = s * p + dx - pad_left + q_shift * g
             qx, u_px = divmod(t, g)
-            for base, ci in zip(part_off, parts):
-                src = w_hwio[:, dx, base:base + ci, :]
-                dst_c = base * g + u_px * ci
+            for lo, ci, pb in placements:
+                src = w_hwio[:, dx, lo:lo + ci, :]
+                dst_c = pb + u_px * ci
                 if is_np:
                     out[:, qx, dst_c:dst_c + ci,
                         p * o:(p + 1) * o] = src
@@ -436,10 +447,12 @@ def conv2d_int8_folded(
     parts: Optional[Tuple[int, ...]] = None,
     tile_h: Optional[int] = None,
     block_n: int = 512,
+    keep_phys: bool = False,     # emit lane-padded channels (no slice)
 ) -> jax.Array:
     """Folded-layout conv: consumes [N, H, Wg, g*C], emits
-    [N, OH, OWg, f_out*O]. One jnp.pad (H halo + one W fold-group of
-    left padding); everything else is static VMEM slicing."""
+    [N, OH, OWg, f_out*O] (or lane-padded with ``keep_phys``). One
+    jnp.pad (H halo + one W fold-group of left padding); everything else
+    is static VMEM slicing."""
     s = stride
     g = s * f_out
     n, h, wg, gc = x_folded.shape
@@ -448,6 +461,21 @@ def conv2d_int8_folded(
     ow_g = _cdiv(ow, f_out)
     (pt, pb), (pl_, pr) = pads
 
+    if kh == kw == 1 and s == 1 and pl_ == 0 and pt == 0:
+        # 1x1: one flat matmul over B*H*Wg rows — the halo grid's
+        # per-cell overhead dwarfs the tiny per-image dots otherwise
+        wk, _, _ = repack_weights_folded(w_hwio, 1, f_out, 0, parts)
+        wm = wk.reshape(wk.shape[2], f_out * o)
+        ws = jnp.asarray(w_scale, jnp.float32)
+        if ws.ndim == 0:
+            ws = jnp.full((o,), ws, jnp.float32)
+        b0 = bias if bias is not None else jnp.zeros((o,), jnp.int32)
+        out = matmul_int8_fused(
+            x_folded.reshape(n * h * wg, gc), jnp.asarray(wm),
+            jnp.tile(b0, f_out), in_scale, jnp.tile(ws, f_out), out_scale,
+            act=act, alpha=alpha, keep_phys=keep_phys)
+        return out.reshape(n, h, wg, -1)
+
     wk, q_shift, qw = repack_weights_folded(
         w_hwio, s, f_out, pad_left=pl_, parts=parts)
 
@@ -455,8 +483,9 @@ def conv2d_int8_folded(
     no = f_out * o
     op = _round_up(no, 128)
     block_n = min(block_n, op)
-    wk = wk.reshape(kh * qw, g * c, no)
-    wk = jnp.pad(jnp.asarray(wk), ((0, 0), (0, cp - gc), (0, op - no)))
+    wk = wk.reshape(kh * qw, wk.shape[2], no)
+    wk = jnp.pad(jnp.asarray(wk), ((0, 0), (0, cp - wk.shape[1]),
+                                   (0, op - no)))
 
     # bias / combined-scale rows tiled across output phases
     ws = jnp.asarray(w_scale, jnp.float32)
@@ -468,7 +497,14 @@ def conv2d_int8_folded(
     b, cs, inv_out = _scale_rows(b_t, ws_t, in_scale, out_scale, act, no, op)
 
     if tile_h is None:
-        tile_h = max(8, 1280 // max(ow_g, 1))
+        # largest divisor of OH <= the M-target: a divisor means the
+        # output needs no row padding, so no slice-copy after the call
+        target = min(oh, max(8, 2048 // max(ow_g, 1)))
+        tile_h = target
+        while tile_h > 1 and oh % tile_h:
+            tile_h -= 1
+        if tile_h < min(8, target):
+            tile_h = target
     tile_h = min(tile_h, oh)
     n_tiles_h = _cdiv(oh, tile_h)
 
@@ -513,16 +549,19 @@ def conv2d_int8_folded(
             dimension_semantics=("parallel", "parallel", "parallel")),
     )(x5, wk, b, cs)
     out = out[:, :oh]
-    if op != no:
+    if op != no and not keep_phys:
         out = out[..., :no]
     return out
 
 
 def unfold_layout(x_folded: jax.Array, f: int, c: int) -> jax.Array:
-    """[N, H, Wg, f*C] -> [N, H, Wg*f, C] (logical NHWC). Free in linear
-    element order; XLA may insert a relayout for C < 128."""
+    """[N, H, Wg, f*C (+pad)] -> [N, H, Wg*f, C] (logical NHWC). Free in
+    linear element order when unpadded; XLA may insert a relayout for
+    C < 128 or when trailing lane padding must be sliced off."""
     n, h, wg, fc = x_folded.shape
-    assert fc == f * c, (fc, f, c)
+    if fc != f * c:   # lane-padded phys group -> strip the pad
+        assert fc > f * c, (fc, f, c)
+        x_folded = x_folded[..., :f * c]
     return x_folded.reshape(n, h, wg * f, c)
 
 
@@ -547,6 +586,7 @@ def conv2d_int8_stem_fused(
     in_scale: float, w_scale, out_scale: float,
     act: str = "NONE",
     alpha: float = 0.01,
+    f_out: int = 1,              # emit W-folded [N, OH, OW/f, f*O]
 ) -> jax.Array:
     """Stem convs (RGB input) through XLA's native conv emitter.
 
@@ -566,6 +606,10 @@ def conv2d_int8_stem_fused(
     ws = jnp.asarray(w_scale, jnp.float32)
     if ws.ndim == 0:
         ws = jnp.full((o,), ws, jnp.float32)
+    if f_out > 1:   # fold on the f32 accumulator, before the int8 write
+        n_, oh_, ow_, _ = accf.shape
+        accf = accf.reshape(n_, oh_, ow_ // f_out, f_out * o)
+        ws = jnp.tile(ws, f_out)
     if act in ("NONE", "RELU"):
         pre = accf * (jnp.float32(in_scale) * ws / jnp.float32(out_scale))
         if act == "RELU":

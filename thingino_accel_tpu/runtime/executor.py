@@ -105,6 +105,9 @@ def build_executor(
         from thingino_accel_tpu.ir.passes import fuse_silu_pairs
         nodes = fuse_silu_pairs(graph)
 
+    plan = _plan_folds(nodes, tensors) \
+        if opts.conv_backend == "fused" and not compat else None
+
     def fn(params: Dict[str, jax.Array],
            inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         env: Dict[str, jax.Array] = {}
@@ -113,11 +116,256 @@ def build_executor(
             env[name] = arr
 
         for node in nodes:
+            if plan is not None:
+                if _lower_node_folded(node, env, tensors, opts, plan):
+                    continue
+                _unfold_inputs(node, env, tensors, plan)
             _lower_node(node, env, tensors, opts, compat)
+            if plan is not None:
+                # a node lowered on the logical path produces fold-1 output
+                for o in node.outputs:
+                    plan.runtime_fold.pop(o, None)
 
+        for o in graph.outputs:
+            _ensure_logical(o, env, tensors, plan)
         return {o: env[o] for o in graph.outputs}
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Fold-layout planning & lowering (serving tier, conv_backend="fused")
+# ---------------------------------------------------------------------------
+#
+# Activations with C < 128 are stored W-folded ([B, H, W/f, f*C]) so the
+# int8 (8,128) HBM tiling doesn't pad them (2-4x traffic) and the MXU
+# sees full 128-lane contractions. Fold factors halve across stride-2
+# convs, which keeps the layout globally consistent through the YOLO
+# trunk (C doubles exactly when the stride halves the fold). Ops that
+# are not fold-aware get logical inputs via a lazy unfold.
+
+_FOLD_ELTWISE = ("RELU", "RELU6", "LEAKY_RELU", "SILU", "SILU_FUSED",
+                 "SIGMOID", "CLIP", "TANH")
+
+
+class _FoldPlan:
+    def __init__(self):
+        self.fold: Dict[str, int] = {}      # planned fold per tensor
+        self.parts: Dict[str, tuple] = {}   # channel-concat structure
+        self.runtime_fold: Dict[str, int] = {}  # env arrays currently folded
+
+    def f(self, name: str) -> int:
+        return self.fold.get(name, 1)
+
+
+def _conv_fold_eligible(node: Node, tensors) -> bool:
+    if node.op != "CONV2D" or len(node.inputs) < 2:
+        return False
+    a = node.attrs
+    in_t = tensors[node.inputs[0]]
+    out_t = tensors[node.outputs[0]]
+    if not (_is_int8(in_t) and _is_int8(out_t)):
+        return False
+    if a.get("dilation", (1, 1)) != (1, 1):
+        return False
+    st = a.get("stride", (1, 1))
+    if st[0] != st[1]:
+        return False
+    if a.get("groups", 1) != 1:
+        return False
+    if len(in_t.shape) != 4 or 0 in in_t.shape or 0 in out_t.shape:
+        return False
+    return True
+
+
+def _plan_folds(nodes, tensors) -> _FoldPlan:
+    plan = _FoldPlan()
+    for node in nodes:
+        out = node.outputs[0]
+        if _conv_fold_eligible(node, tensors):
+            a = node.attrs
+            s = a.get("stride", (1, 1))[0]
+            cin = tensors[node.inputs[0]].shape[3]
+            o = tensors[out].shape[3]
+            ow = tensors[out].shape[2]
+            if cin < 16:   # stem: seed the fold chain from the output
+                f = next((c for c in (4, 2)
+                          if c * o <= 128 and ow % c == 0), 1)
+            else:
+                fin = plan.f(node.inputs[0])
+                f = fin // s if (fin % s == 0 and fin >= s) else 1
+                if f > 1 and ow % f:
+                    f = 1
+            plan.fold[out] = f
+            plan.parts[out] = (o,)
+        elif node.op in ("ADD", "MUL") and len(node.inputs) == 2:
+            fa, fb = plan.f(node.inputs[0]), plan.f(node.inputs[1])
+            pa = plan.parts.get(node.inputs[0])
+            pb = plan.parts.get(node.inputs[1])
+            if fa == fb and fa > 1 and pa == pb:
+                plan.fold[out] = fa
+                plan.parts[out] = pa
+        elif node.op in _FOLD_ELTWISE:
+            f = plan.f(node.inputs[0])
+            if f > 1:
+                plan.fold[out] = f
+                plan.parts[out] = plan.parts.get(node.inputs[0])
+        elif node.op == "CONCAT":
+            fs = [plan.f(i) for i in node.inputs]
+            shp = [tensors[i].shape for i in node.inputs]
+            same_hw = all(len(sh) == 4 and sh[:3] == shp[0][:3]
+                          for sh in shp)
+            tot = sum(sh[3] for sh in shp) if same_hw else -1
+            if (same_hw and len(set(fs)) == 1 and fs[0] > 1
+                    and len(tensors[out].shape) == 4
+                    and tensors[out].shape[3] == tot):
+                plan.fold[out] = fs[0]
+                ps = []
+                for i in node.inputs:
+                    ps.extend(plan.parts.get(i, (tensors[i].shape[3],)))
+                plan.parts[out] = tuple(ps)
+    return plan
+
+
+def _ensure_logical(name, env, tensors, plan) -> None:
+    """Replace a folded/lane-padded env value with its logical NHWC
+    view (unfold_layout strips trailing phys padding by shape)."""
+    if plan is None or name not in plan.runtime_fold:
+        return
+    from thingino_accel_tpu.ops import fused_kernels as FK
+    f = plan.runtime_fold.pop(name)
+    c = tensors[name].shape[3]
+    env[name] = FK.unfold_layout(env[name], f, c)
+
+
+def _unfold_inputs(node, env, tensors, plan) -> None:
+    for i in node.inputs:
+        if i in env:
+            _ensure_logical(i, env, tensors, plan)
+
+
+def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
+    """Fold-aware lowering. Returns True when the node was handled."""
+    from thingino_accel_tpu.ops import fused_kernels as FK
+    op = node.op
+    a = node.attrs
+    out_name = node.outputs[0]
+    out_t = tensors[out_name]
+
+    def rtf(nm):
+        return plan.runtime_fold.get(nm, 1)
+
+    def scale(nm):
+        return tensors[nm].quant.scale
+
+    if _conv_fold_eligible(node, tensors):
+        act = a.get("activation", "NONE")
+        f_act = act if act in FK.ACTS else "NONE"
+        s = a["stride"][0]
+        f_out = plan.f(out_name)
+        x = env[node.inputs[0]]
+        w = env[node.inputs[1]]
+        bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
+        in_t = tensors[node.inputs[0]]
+        cin = in_t.shape[3]
+        out_hw = _nhwc_out_hw(out_t)
+        wt_info = tensors[node.inputs[1]]
+        ws = (wt_info.channel_scales
+              if wt_info.channel_scales is not None
+              else scale(node.inputs[1]))
+        pads = R._conv_pads(
+            (in_t.shape[1], in_t.shape[2]), out_hw, a["kernel"],
+            a["stride"], a["dilation"], a["padding"], a["explicit_pad"])
+        if cin < 16:
+            _ensure_logical(node.inputs[0], env, tensors, plan)
+            x = env[node.inputs[0]]
+            out = FK.conv2d_int8_stem_fused(
+                x, w, bias, out_hw, a["stride"], pads,
+                scale(node.inputs[0]), ws, scale(out_name),
+                act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
+                f_out=f_out)
+        else:
+            g = s * f_out
+            fin = rtf(node.inputs[0])
+            parts = plan.parts.get(node.inputs[0], (cin,))
+            if fin != g:
+                _ensure_logical(node.inputs[0], env, tensors, plan)
+                x = env[node.inputs[0]]
+                parts = (cin,)
+                if g > 1:
+                    if x.shape[2] % g:
+                        return False   # W not foldable -> logical path
+                    x = FK.fold_layout(x, g)
+            out = FK.conv2d_int8_folded(
+                x, w, bias, out_hw, s, pads,
+                scale(node.inputs[0]), ws, scale(out_name),
+                act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
+                f_out=f_out, parts=parts, keep_phys=True)
+        if f_act != act:
+            out = _apply_fused_act(out, act, out_t, compat=False)
+        env[out_name] = out
+        o_ch = out_t.shape[3]
+        pad = out.shape[3] - f_out * o_ch
+        if f_out > 1 or pad > 0:
+            plan.runtime_fold[out_name] = f_out
+            plan.parts[out_name] = (o_ch,) + ((-pad,) if pad else ())
+        return True
+
+    f_planned = plan.f(out_name)
+    if f_planned <= 1:
+        return False
+
+    if op in ("ADD", "MUL"):
+        if any(rtf(i) != f_planned for i in node.inputs):
+            return False
+        fn = R.add_q if op == "ADD" else R.mul_q
+        env[out_name] = fn(
+            env[node.inputs[0]], env[node.inputs[1]],
+            scale(node.inputs[0]), scale(node.inputs[1]), scale(out_name))
+        plan.runtime_fold[out_name] = f_planned
+        plan.parts[out_name] = plan.parts.get(
+            node.inputs[0], (tensors[node.inputs[0]].shape[3],))
+        return True
+
+    if op in _FOLD_ELTWISE:
+        if rtf(node.inputs[0]) != f_planned:
+            return False
+        x = env[node.inputs[0]]
+        if op == "RELU":
+            env[out_name] = R.relu(x)
+        elif op == "SILU":
+            env[out_name] = R.silu(x, scale(node.inputs[0]),
+                                   out_scale=scale(out_name))
+        elif op == "SILU_FUSED":
+            env[out_name] = R.silu(
+                x, in_scale=a["in_scale"], sig_scale=a["sig_scale"],
+                out_scale=a["out_scale"], fuse=True)
+        elif op == "LEAKY_RELU":
+            env[out_name] = R.leaky_relu(x, a.get("alpha", 0.0) or 0.01)
+        elif op == "SIGMOID":
+            env[out_name] = R.sigmoid(x, scale(node.inputs[0]),
+                                      scale(out_name))
+        elif op == "RELU6":
+            env[out_name] = R.relu6(x, scale(node.inputs[0]), False)
+        else:
+            return False
+        plan.runtime_fold[out_name] = f_planned
+        plan.parts[out_name] = plan.parts.get(
+            node.inputs[0], (tensors[node.inputs[0]].shape[3],))
+        return True
+
+    if op == "CONCAT":
+        if any(rtf(i) != f_planned for i in node.inputs):
+            return False
+        env[out_name] = R.concat([env[i] for i in node.inputs], 3)
+        plan.runtime_fold[out_name] = f_planned
+        ps = []
+        for i in node.inputs:
+            ps.extend(plan.parts.get(i, (tensors[i].shape[3],)))
+        plan.parts[out_name] = tuple(ps)
+        return True
+
+    return False
 
 
 def _lower_node(
