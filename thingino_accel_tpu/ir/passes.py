@@ -75,7 +75,16 @@ def fuse_act_into_conv(graph: Graph) -> Graph:
     the format's fused-activation field, ``include/mars.h:82-91``, which
     the C runtime only honors for RELU, ``mars_runtime.c:701-707``).
     Applies :func:`fuse_silu_pairs` first so SIGMOID+MUL pairs fold too.
+    Operates on a node-copied graph: Node objects may be shared with
+    other engines built over the same Graph, and this pass rewires conv
+    outputs in place.
     """
+    graph = Graph(
+        nodes=[Node(op=n.op, inputs=list(n.inputs),
+                    outputs=list(n.outputs), attrs=dict(n.attrs),
+                    name=n.name) for n in graph.nodes],
+        tensors=graph.tensors, inputs=list(graph.inputs),
+        outputs=list(graph.outputs), name=graph.name)
     graph.nodes = fuse_silu_pairs(graph)
     consumers = graph.consumers()
     producer = graph.producer_map()
