@@ -201,3 +201,46 @@ def test_nv12_gray_roundtrip():
     got = np.asarray(yolo.nv12_to_rgb(jnp.asarray(nv12), h, w))
     for c in range(3):
         np.testing.assert_array_equal(got[0, :, :, c], nv12[0, :h])
+
+
+def test_nms_crowded_scene_pool(rng):
+    """Crowded scene: suppression must run over a pool deeper than
+    max_dets, or survivors ranked below suppressed higher-scored boxes
+    get dropped (the round-1 defect). 1k overlapping boxes vs the
+    full-N host oracle."""
+    n = 1000
+    # 25 clusters of 40 boxes each: within a cluster heavy overlap
+    centers = rng.uniform(80, 560, (25, 2))
+    boxes = []
+    for cx, cy in centers:
+        for _ in range(40):
+            boxes.append([cx + rng.uniform(-6, 6), cy + rng.uniform(-6, 6),
+                          rng.uniform(40, 60), rng.uniform(40, 60)])
+    boxes = np.asarray(boxes, np.float32)
+    scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+    classes = rng.integers(0, 3, n).astype(np.int32)
+
+    dets = yolo.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        conf_thresh=0.25, iou_thresh=0.45, max_dets=100, pre_nms=1000)
+    got = sorted(
+        (round(float(s), 5), int(c))
+        for s, c, v in zip(np.asarray(dets.scores), np.asarray(dets.classes),
+                           np.asarray(dets.valid)) if v)
+    ref_idx = np_nms_oracle(boxes, scores, classes, 0.25, 0.45)
+    ref = sorted((round(float(scores[i]), 5), int(classes[i]))
+                 for i in ref_idx[:100])
+    # full pool -> exact oracle agreement
+    assert got == sorted(ref)
+
+    # default 256-pool: every returned box is a true oracle survivor
+    # (no suppressed box resurrected) and the top oracle boxes are kept
+    dets2 = yolo.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        conf_thresh=0.25, iou_thresh=0.45, max_dets=100)
+    got2 = {round(float(s), 5)
+            for s, v in zip(np.asarray(dets2.scores),
+                            np.asarray(dets2.valid)) if v}
+    ref_scores = [round(float(scores[i]), 5) for i in ref_idx]
+    assert got2 <= set(ref_scores)
+    assert set(ref_scores[:40]) <= got2

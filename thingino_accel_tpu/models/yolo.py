@@ -359,16 +359,21 @@ def nms_fixed(
     iou_thresh: float = 0.45,
     max_dets: int = 100,
     class_aware: bool = True,
+    pre_nms: int = 256,
 ) -> Detections:
     """Greedy class-aware NMS with static shapes (single image).
 
-    Top-K prefilter by confidence (scores below ``conf_thresh`` zeroed),
-    then greedy suppression over the score-sorted K×K IoU matrix — the
-    vectorized equivalent of the reference's sort + suppress loops
-    (``src/mars/mars_yolo_test.c:107-130``). O(K^2) with K=max_dets,
-    entirely on device; batch via vmap.
+    Suppression runs over the top ``pre_nms`` candidates above
+    ``conf_thresh`` (NOT just the top ``max_dets`` — a crowded scene's
+    survivors can rank below suppressed higher-scored boxes, so the
+    pool must be deeper than the output; the reference suppresses over
+    all N, ``src/mars/mars_yolo_test.c:107-130``). The greedy rule is
+    evaluated as a fixpoint over the score-sorted K×K IoU relation:
+    keep[j] iff no kept higher-scored i overlaps j — converges in
+    suppression-chain-depth (<5) iterations of cheap vector ops.
+    O(K^2) with K=pre_nms, entirely on device; batch via vmap.
     """
-    k = min(max_dets, scores.shape[0])
+    k = min(max(pre_nms, max_dets), scores.shape[0])
     masked = jnp.where(scores >= conf_thresh, scores, 0.0)
     top_scores, idx = jax.lax.top_k(masked, k)
     top_boxes = _xywh_to_xyxy(boxes_xywh[idx])
@@ -380,13 +385,8 @@ def nms_fixed(
         iou = jnp.where(same, iou, 0.0)
 
     overlap = iou > iou_thresh
-    # Greedy suppression as a fixpoint: keep[j] iff no kept higher-scored
-    # i overlaps j. Iterating the whole [K,K] relation converges to the
-    # exact greedy solution in <= suppression-chain-depth steps (typically
-    # <5) — a handful of cheap vector ops instead of the reference's K
-    # sequential rounds (mars_yolo_test.c:107-130).
-    idx = jnp.arange(k)
-    up = overlap & (idx[:, None] < idx[None, :])   # i (higher) suppresses j
+    idx_r = jnp.arange(k)
+    up = overlap & (idx_r[:, None] < idx_r[None, :])  # i suppresses j
 
     def cond(state):
         _, changed, it = state
@@ -400,7 +400,17 @@ def nms_fixed(
     keep, _, _ = jax.lax.while_loop(
         cond, body, (jnp.ones((k,), bool), jnp.array(True), 0))
     valid = keep & (top_scores > 0.0)
-    if k < max_dets:  # pad to the fixed output size
+    # trim the surviving pool to the fixed max_dets output (survivors
+    # are score-sorted, so a top_k over the masked scores preserves
+    # the reference's output order)
+    if k > max_dets:
+        sel_scores, sel = jax.lax.top_k(
+            jnp.where(valid, top_scores, 0.0), max_dets)
+        top_boxes = top_boxes[sel]
+        top_scores = sel_scores
+        top_classes = top_classes[sel]
+        valid = valid[sel] & (sel_scores > 0.0)
+    elif k < max_dets:  # pad to the fixed output size
         pad = max_dets - k
         top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
         top_scores = jnp.pad(top_scores, (0, pad))
