@@ -49,13 +49,16 @@ def test_aec_on_real_wav(tmp_path):
 
 @needs_samples
 def test_aec_full_pipeline_from_mgk(tmp_path):
-    """The aec_inference.py flow: .mgk import -> real WAV -> masked WAV."""
+    """The aec_inference.py flow: .mgk decompile -> real WAV -> masked
+    WAV, with gru1 state carried across sliding 8-frame windows."""
     from thingino_accel_tpu.formats import mgk
+    from thingino_accel_tpu.models.aec import AECStream
     path = "/root/reference/AEC_T41_16K_NS_OUT_UC.mgk"
     if not os.path.exists(path):
         pytest.skip("AEC .mgk absent")
-    model = mgk.import_mgk(path)
+    stream = AECStream(mgk.import_mgk(path, streaming=True))
     wavs = sorted(f for f in os.listdir(SAMPLES) if f.endswith("_mic.wav"))
-    x = audio.read_wav(os.path.join(SAMPLES, wavs[0]))[:16000]  # 1s
-    out = audio.process_wav(model, x)
+    x = audio.read_wav(os.path.join(SAMPLES, wavs[0]))[:8000]  # 0.5s
+    out = audio.process_wav_stream(stream, x)
     assert out.shape == x.shape and np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.5

@@ -157,6 +157,10 @@ def cmd_decompile(args) -> int:
     if args.extract_weights:
         mgk.extract_weights(args.input, args.extract_weights)
         print(f"weights -> {args.extract_weights}")
+    if getattr(args, "onnx", None):
+        with open(args.onnx, "wb") as f:
+            f.write(mgk.mgk_to_onnx(args.input))
+        print(f"onnx -> {args.onnx}")
     return 0
 
 
@@ -229,9 +233,11 @@ def main(argv=None) -> int:
     s.add_argument("-v", "--verbose", action="store_true")
     s.set_defaults(fn=cmd_compile)
 
-    s = sub.add_parser("decompile", help=".mgk -> metadata/weights")
+    s = sub.add_parser("decompile", help=".mgk -> metadata/weights/onnx")
     s.add_argument("-i", "--input", required=True)
     s.add_argument("--extract-weights", metavar="DIR")
+    s.add_argument("--onnx", metavar="OUT.onnx",
+                   help="export the decompiled model as ONNX")
     s.set_defaults(fn=cmd_decompile)
 
     s = sub.add_parser("gen-test", help="generate a test .mars model")

@@ -128,8 +128,50 @@ _DATA_FORMATS = ("NHWC", "NCHW", "NDHWC32", "NDHWC", "NMHWSOIB2", "NMC32",
                  "OIHW", "HWIO", "OHWI", "NV12", "D1", "NC", "N")
 _DATA_TYPES = ("FP32", "FP16", "UINT8", "INT8", "UINT16", "INT16",
                "UINT32", "INT32", "UINT4", "INT4", "UINT2", "INT2")
-_LAYER_RE = re.compile(rb"layer_(\d+)_Quantize([A-Za-z]+)")
+# Layer-name patterns across the known .mgk families
+# (role of ``mgk-decompiler/src/rodata_parser.rs:230-340`` patterns 1-4):
+_LAYER_RE = re.compile(rb"layer_(\d+)_Quantize([A-Za-z]+)")       # AEC style
+_YOLO_LAYER_RE = re.compile(rb"(?<![0-9A-Za-z_])(\d{3,})_Quantize([A-Za-z]*)")
+_PTQ_LAYER_RE = re.compile(rb"ptq_model_([a-z_]+?)_(\d+)_Quantize")
+_OUTPUT_LAYER_RE = re.compile(rb"(\d+)_output_last_layer")
+_ONNX_TENSOR_RE = re.compile(rb"onnx__Quantize([A-Za-z]+)_(\d+)")
 _OP_PATH_RE = re.compile(rb"([A-Za-z][A-Za-z0-9]+)/([a-z0-9_]+)/([\d/]+)/")
+
+# substring -> canonical kind, first match wins
+# (role of ``rodata_parser.rs:409-461`` parse_layer_type)
+_KIND_TABLE = (
+    ("GRU", "GRU"), ("Gru", "GRU"),
+    ("BatchNorm", "BatchNorm"),
+    ("Feature", "Feature"),
+    ("ConvTranspose", "ConvTranspose"),
+    ("Conv", "Conv"), ("conv", "Conv"),
+    ("Pool", "Pool"), ("pool", "Pool"),
+    ("Concat", "Concat"), ("concat", "Concat"),
+    ("Upsample", "Upsample"), ("UpSample", "Upsample"),
+    ("Reshape", "Reshape"),
+    ("Sigmoid", "Sigmoid"),
+    ("Relu", "ReLU"), ("ReLU", "ReLU"),
+    ("Add", "Add"),
+    ("output_last_layer", "Output"),
+)
+
+_FUSION_MARKERS = (b"QuantizeConv2DWrapper", b"conv2d_tnpu",
+                   b"QuantizeWeight", b"fuse_")
+
+
+def classify_layer_name(name: str) -> str:
+    for pat, kind in _KIND_TABLE:
+        if pat in name:
+            return kind
+    if name.endswith("_Quantize"):
+        return "QuantizedLayer"
+    return "Unknown"
+
+
+def _cstr_at(data: bytes, off: int) -> str:
+    end = data.find(b"\x00", off)
+    return data[off:end if end >= 0 else len(data)].decode(
+        "utf-8", "replace")
 
 
 @dataclass
@@ -138,11 +180,24 @@ class MgkLayer:
     kind: str           # Feature / BatchNorm / GRU / ...
     name: str
     offset: int
+    fused: bool = False
+
+
+@dataclass
+class MgkTensor:
+    """A tensor name mined from .rodata plus format/dtype strings found
+    within 64 bytes of it (the reference associates metadata by
+    proximity, ``rodata_parser.rs:177-219``)."""
+    name: str
+    offset: int
+    fmt: Optional[str] = None
+    dtype: Optional[str] = None
 
 
 @dataclass
 class MgkMetadata:
     layers: List[MgkLayer] = field(default_factory=list)
+    tensors: List["MgkTensor"] = field(default_factory=list)
     op_paths: List[str] = field(default_factory=list)
     formats: List[str] = field(default_factory=list)
     dtypes: List[str] = field(default_factory=list)
@@ -150,24 +205,65 @@ class MgkMetadata:
     scale_groups: List[Tuple[int, List[float]]] = field(default_factory=list)
     weight_size: int = 0
     elf_end: int = 0
+    has_fused_ops: bool = False
+
+
+_TENSOR_PREFIXES = ("onnx__", "__FormatConvert", "__Reshape",
+                    "__ConvertTensor", "__Transpose", "input", "output",
+                    "hidden", "images")
+
+
+def mine_tensor_info(ro: bytes) -> List[MgkTensor]:
+    """Tensor names + nearby format/dtype association."""
+    out: List[MgkTensor] = []
+    for m in re.finditer(rb"[ -~]{3,}", ro):
+        s = m.group(0).decode()
+        if not any(s.startswith(p) for p in _TENSOR_PREFIXES):
+            continue
+        if not all(c.isalnum() or c in "_-" for c in s):
+            continue
+        window = ro[m.end():m.end() + 64]
+        fmt = next((f for f in _DATA_FORMATS
+                    if f.encode() in window), None)
+        dt = next((d for d in _DATA_TYPES
+                   if d.encode() in window), None)
+        out.append(MgkTensor(name=s, offset=m.start(), fmt=fmt, dtype=dt))
+    return out
 
 
 def mine_rodata(elf: ElfFile) -> MgkMetadata:
-    """Mine layer names / op paths / formats / scales from .rodata
-    (the role of ``mgk-decompiler/src/rodata_parser.rs:116-732``)."""
+    """Mine layer names / tensor names / op paths / formats / scales
+    from .rodata (the role of
+    ``mgk-decompiler/src/rodata_parser.rs:116-732``)."""
     ro = elf.section_bytes(".rodata")
     meta = MgkMetadata(weight_size=len(elf.appended), elf_end=elf.elf_end)
+    meta.has_fused_ops = any(p in ro for p in _FUSION_MARKERS)
 
     seen = set()
-    for m in _LAYER_RE.finditer(ro):
-        lid = int(m.group(1))
-        kind = m.group(2).decode()
-        nm = m.group(0).decode()
-        if (lid, kind) not in seen:
-            seen.add((lid, kind))
+
+    def add(lid: int, kind: str, nm: str, off: int) -> None:
+        if lid not in seen:
+            seen.add(lid)
             meta.layers.append(MgkLayer(
-                layer_id=lid, kind=kind, name=nm, offset=m.start()))
+                layer_id=lid, kind=kind, name=nm, offset=off,
+                fused=meta.has_fused_ops and "Quantize" in nm))
+
+    for m in _LAYER_RE.finditer(ro):           # AEC family
+        add(int(m.group(1)), m.group(2).decode(),
+            _cstr_at(ro, m.start()), m.start())
+    for m in _PTQ_LAYER_RE.finditer(ro):       # PTQ-fused family
+        nm = _cstr_at(ro, m.start())
+        add(int(m.group(2)), f"Fused_{m.group(1).decode()}",
+            nm, m.start())
+    if not meta.layers:
+        for m in _YOLO_LAYER_RE.finditer(ro):  # YOLO family
+            nm = _cstr_at(ro, m.start())
+            add(int(m.group(1)), classify_layer_name(nm), nm, m.start())
+    for m in _OUTPUT_LAYER_RE.finditer(ro):    # output markers
+        add(int(m.group(1)), "Output", _cstr_at(ro, m.start()), m.start())
     meta.layers.sort(key=lambda l: l.layer_id)
+
+    meta.tensors = mine_tensor_info(ro)
 
     for m in _OP_PATH_RE.finditer(ro):
         meta.op_paths.append(m.group(0).decode())
@@ -194,6 +290,122 @@ def mine_rodata(elf: ElfFile) -> MgkMetadata:
                     (run_start * 4, [float(v) for v in f32[run_start:i]]))
             run_start = None
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Weight-blob structure analysis
+# ---------------------------------------------------------------------------
+
+
+def analyze_blocks(blob: bytes, block: int = 1024) -> np.ndarray:
+    """Per-1024-byte block statistics of the appended weight blob.
+
+    Returns a structured array with ``nonzero``, ``std``, and the
+    ``dense`` predicate (>900 nonzero and std>20 — real NNA weight
+    tiles vs padding; role of
+    ``mgk-decompiler/src/weight_extractor.rs`` analyze_weight_blocks /
+    ``mgk_decompiler.py`` analyze_weight_structure)."""
+    n = len(blob) // block
+    arr = np.frombuffer(blob[:n * block], np.int8).reshape(n, block)
+    nonzero = np.count_nonzero(arr, axis=1)
+    std = arr.astype(np.float32).std(axis=1)
+    out = np.zeros(n, dtype=[("nonzero", np.int32), ("std", np.float32),
+                             ("dense", bool)])
+    out["nonzero"] = nonzero
+    out["std"] = std
+    out["dense"] = (nonzero > 900) & (std > 20)
+    return out
+
+
+def detect_weight_boundaries(blob: bytes, block: int = 1024) -> List[int]:
+    """Byte offsets where the blob's block statistics change regime:
+    dense<->sparse transitions or std jumps > 30 (the reference's
+    boundary heuristic, ``weight_extractor.rs:482-503``)."""
+    st = analyze_blocks(blob, block)
+    bounds = [0]
+    for i in range(1, len(st)):
+        if st["dense"][i] != st["dense"][i - 1] or \
+                abs(float(st["std"][i]) - float(st["std"][i - 1])) > 30.0:
+            bounds.append(i * block)
+    return bounds
+
+
+def dense_regions(blob: bytes, block: int = 1024) -> List[Tuple[int, int]]:
+    """(offset, size) of maximal runs of dense 1024-blocks."""
+    st = analyze_blocks(blob, block)
+    out = []
+    start = None
+    for i, d in enumerate(st["dense"]):
+        if d and start is None:
+            start = i
+        elif not d and start is not None:
+            out.append((start * block, (i - start) * block))
+            start = None
+    if start is not None:
+        out.append((start * block, (len(st) - start) * block))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# NMHWSOIB2 weight unpacking (int8 and 2-bit variants)
+# ---------------------------------------------------------------------------
+
+
+def unpack_nmhwsoib2(data: bytes, out_ch: int, in_ch: int,
+                     kh: int = 1, kw: int = 1) -> np.ndarray:
+    """int8 NMHWSOIB2 [N_OFP, M_IFP, KH, KW, 32, 32] -> OIHW.
+
+    The NNA packs weights as 32x32 = 1024-byte channel tiles
+    (``include/mars.h:47-56``; depacker semantics:
+    ``mgk-decompiler/src/weight_extractor.rs:421-480``)."""
+    n_ofp = -(-out_ch // 32)
+    m_ifp = -(-in_ch // 32)
+    need = n_ofp * m_ifp * kh * kw * 1024
+    if len(data) < need:
+        raise ValueError(f"NMHWSOIB2: need {need} bytes, have {len(data)}")
+    a = np.frombuffer(data[:need], np.int8).reshape(
+        n_ofp, m_ifp, kh, kw, 32, 32)
+    oihw = a.transpose(0, 4, 1, 5, 2, 3).reshape(
+        n_ofp * 32, m_ifp * 32, kh, kw)
+    return oihw[:out_ch, :in_ch].copy()
+
+
+def unpack_2bit_signed(data: bytes) -> np.ndarray:
+    """Little-endian 2-bit fields -> int8 in {-2,-1,0,1}
+    (``mgk-decompiler/mgk_decompiler.py`` unpack_2bit_to_signed:
+    0->0, 1->1, 2->-2, 3->-1)."""
+    u = np.frombuffer(data, np.uint8)
+    out = np.empty(len(u) * 4, np.int8)
+    out[0::4] = u & 3
+    out[1::4] = (u >> 2) & 3
+    out[2::4] = (u >> 4) & 3
+    out[3::4] = (u >> 6) & 3
+    return np.where(out >= 2, out - 4, out).astype(np.int8)
+
+
+def unpack_nmhwsoib2_2bit(data: bytes, out_ch: int, in_ch: int,
+                          kh: int = 1, kw: int = 1) -> np.ndarray:
+    """2-bit NMHWSOIB2 [N_OFP, M_IFP, KH, KW, PACK=4, 32, 32] -> OIHW f32.
+
+    pack[3] carries the sign (-2 = positive, 1 = negative); pack[0:3]
+    carries magnitude information. Original int8 precision is lost in
+    2-bit quantization, so the reconstruction is approximate: sign *
+    mean|pack[0:3]| * 10 (the reference's documented recovery,
+    ``mgk_decompiler.py`` unpack_nmhwsoib2 quantize_type=2 branch)."""
+    n_ofp = -(-out_ch // 32)
+    m_ifp = -(-in_ch // 32)
+    need = n_ofp * m_ifp * kh * kw * 4 * 32 * 32 // 4
+    if len(data) < need:
+        raise ValueError(f"2-bit NMHWSOIB2: need {need}, have {len(data)}")
+    vals = unpack_2bit_signed(data[:need]).reshape(
+        n_ofp, m_ifp, kh, kw, 4, 32, 32)
+    magnitude = np.mean(np.abs(vals[:, :, :, :, 0:3].astype(np.float32)),
+                        axis=4)
+    sign = np.where(vals[:, :, :, :, 3] == -2, 1.0, -1.0).astype(np.float32)
+    approx = sign * magnitude * 10.0
+    oihw = approx.transpose(0, 4, 1, 5, 2, 3).reshape(
+        n_ofp * 32, m_ifp * 32, kh, kw)
+    return oihw[:out_ch, :in_ch].copy()
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +502,159 @@ def extract_weight_table(
 
 
 # ---------------------------------------------------------------------------
+# AEC model: numerically verified per-layer weight map
+# ---------------------------------------------------------------------------
+#
+# Derived by exact-grid reconstruction against the reference
+# decompiler's own extraction (``aec_model_with_weights.onnx``): every
+# f32 weight tensor there is an integer grid q * scale; searching the
+# .mgk's appended blob for the exact int8 byte sequence of q located
+# each tensor at a unique offset. The layout is a COMPACT SEQUENTIAL
+# region of plain row-major O,I,K int8 tensors (not NMHWSOIB2 for these
+# small 32-channel convs), and every per-tensor scale appears verbatim
+# as an f32 in .rodata at the recorded offset. Biases are all zero in
+# the reference's extraction too.
+#
+# Each entry: (blob_offset, OIK shape, rodata_scale_offset).
+AEC_SEQ_LAYOUT = {
+    "expand_weight":  (1792,  (32, 8, 1),  3536),
+    "down1_weight":   (2048,  (32, 32, 2), 4840),
+    "conv1_weight":   (4096,  (32, 32, 1), 4848),
+    "down2_weight":   (5120,  (32, 32, 2), 6076),
+    "feat0_weight":   (7168,  (32, 32, 1), 6084),
+    "feat1_weight":   (8192,  (32, 32, 1), 7312),
+    "feat2_weight":   (9216,  (32, 32, 1), 7320),
+    "gru1_W":         (10240, (1, 96, 32), 8548),
+    "gru1_R":         (13312, (1, 96, 32), 8556),
+    "gru2_W_fwd":     (16384, (96, 32),    9196),
+    "gru2_R_fwd":     (19456, (96, 32),    12504),
+    "gru2_W_bwd":     (22528, (96, 32),    14004),
+    "gru2_R_bwd":     (25600, (96, 32),    14396),
+    "up1_weight":     (28672, (64, 32, 2), 14056),   # ConvTranspose [I,O,K]
+    "up2_weight":     (32768, (32, 32, 2), 14444),
+    "out_weight":     (34816, (2, 32, 1),  15272),
+}
+
+
+def extract_aec_model(elf: ElfFile) -> Dict[str, np.ndarray]:
+    """Per-layer f32 weights of the AEC family: int8 blob regions from
+    :data:`AEC_SEQ_LAYOUT` dequantized with their .rodata scales."""
+    blob = elf.appended
+    ro = elf.section_bytes(".rodata")
+    out: Dict[str, np.ndarray] = {}
+    for name, (off, shape, sc_off) in AEC_SEQ_LAYOUT.items():
+        n = int(np.prod(shape))
+        q = np.frombuffer(blob[off:off + n], np.int8).astype(np.float32)
+        scale = float(np.frombuffer(ro[sc_off:sc_off + 4], "<f4")[0])
+        if not (1e-6 < scale < 10.0):
+            raise ValueError(
+                f"{name}: implausible scale {scale} at rodata+{sc_off}")
+        out[name] = (q * np.float32(scale)).reshape(shape)
+    # assemble the bidirectional GRU tensors [dirs, 3H, *]
+    out["gru2_W"] = np.stack(
+        [out.pop("gru2_W_fwd"), out.pop("gru2_W_bwd")])
+    out["gru2_R"] = np.stack(
+        [out.pop("gru2_R_fwd"), out.pop("gru2_R_bwd")])
+    return out
+
+
+def export_aec_onnx(elf: ElfFile, streaming: bool = False) -> bytes:
+    """Serialize the extracted AEC model as ONNX (the role of the
+    reference's ``aec_onnx_export.rs``: graph structure mirrors its
+    exported ``aec_model_with_weights.onnx`` node for node).
+
+    ``streaming``: expose gru1's hidden state as a graph input/output so
+    a caller can carry it across 8-frame windows — the recurrence the
+    reference's ``scripts/aec_inference.py`` streams with (its
+    ``[64,1,1,32]`` hidden); gru2 is bidirectional within the window and
+    resets per step there too."""
+    from thingino_accel_tpu.formats import onnx_proto as OP
+    from thingino_accel_tpu.formats import onnx_writer as W
+
+    w = extract_aec_model(elf)
+    zeros = {"expand_bias": 32, "down1_bias": 32, "conv1_bias": 32,
+             "down2_bias": 32, "feat0_bias": 32, "feat1_bias": 32,
+             "feat2_bias": 32, "up1_bias": 32, "up2_bias": 32,
+             "out_bias": 2}
+    inits = dict(w)
+    for k, n in zeros.items():
+        inits[k] = np.zeros((n,), np.float32)
+    inits["gru1_B"] = np.zeros((1, 192), np.float32)
+    inits["gru2_B"] = np.zeros((2, 192), np.float32)
+    inits["squeeze_axes"] = np.asarray([1], np.int64)
+    inits["gru2_shape"] = np.asarray([64, -1, 64], np.int64)
+
+    def conv(x, wn, bn, y, k=1, s=1):
+        return ("Conv", [x, wn, bn], [y],
+                dict(kernel_shape=(k,), strides=(s,), pads=(0, 0)))
+
+    nodes = [
+        ("Transpose", ["input"], ["transposed"], dict(perm=(0, 2, 1))),
+        conv("transposed", "expand_weight", "expand_bias", "expanded"),
+        ("Relu", ["expanded"], ["expand_out"], None),
+        conv("expand_out", "down1_weight", "down1_bias", "down1_out",
+             k=2, s=2),
+        ("Relu", ["down1_out"], ["down1_relu_out"], None),
+        conv("down1_relu_out", "conv1_weight", "conv1_bias", "conv1_out"),
+        ("Relu", ["conv1_out"], ["conv1_relu_out"], None),
+        conv("conv1_relu_out", "down2_weight", "down2_bias", "down2_out",
+             k=2, s=2),
+        ("Relu", ["down2_out"], ["down2_relu_out"], None),
+        conv("down2_relu_out", "feat0_weight", "feat0_bias", "feat0_out"),
+        ("Relu", ["feat0_out"], ["feat0_relu_out"], None),
+        conv("feat0_relu_out", "feat1_weight", "feat1_bias", "feat1_out"),
+        ("Relu", ["feat1_out"], ["feat1_relu_out"], None),
+        conv("feat1_relu_out", "feat2_weight", "feat2_bias", "feat2_out"),
+        ("Relu", ["feat2_out"], ["feat2_relu_out"], None),
+        ("Transpose", ["feat2_relu_out"], ["gru_input"],
+         dict(perm=(0, 2, 1))),
+        ("GRU", ["gru_input", "gru1_W", "gru1_R", "gru1_B"]
+         + (["", "gru1_h0"] if streaming else []),
+         ["gru1_Y", "gru1_Y_h"],
+         dict(hidden_size=32, direction="forward")),
+        ("Squeeze", ["gru1_Y", "squeeze_axes"], ["gru1_squeezed"], None),
+        ("Transpose", ["gru1_squeezed"], ["gru1_out"],
+         dict(perm=(1, 0, 2))),
+        ("GRU", ["gru1_out", "gru2_W", "gru2_R", "gru2_B"],
+         ["gru2_Y", "gru2_Y_h"],
+         dict(hidden_size=32, direction="bidirectional")),
+        ("Reshape", ["gru2_Y", "gru2_shape"], ["gru2_reshaped"], None),
+        ("Transpose", ["gru2_reshaped"], ["gru2_out"],
+         dict(perm=(1, 0, 2))),
+        ("Transpose", ["gru2_out"], ["decoder_in"], dict(perm=(0, 2, 1))),
+        ("ConvTranspose",
+         ["decoder_in", "up1_weight", "up1_bias"], ["up1_out"],
+         dict(kernel_shape=(2,), strides=(2,))),
+        ("Relu", ["up1_out"], ["up1_relu_out"], None),
+        ("ConvTranspose",
+         ["up1_relu_out", "up2_weight", "up2_bias"], ["up2_out"],
+         dict(kernel_shape=(2,), strides=(2,))),
+        ("Relu", ["up2_out"], ["up2_relu_out"], None),
+        conv("up2_relu_out", "out_weight", "out_bias", "pre_sigmoid"),
+        ("Sigmoid", ["pre_sigmoid"], ["mask"], None),
+        ("Transpose", ["mask"], ["output"], dict(perm=(0, 2, 1))),
+    ]
+    inputs = {"input": ((1, 256, 8), OP.TP_FLOAT)}
+    outputs = {"output": ((1, 256, 2), OP.TP_FLOAT)}
+    if streaming:
+        inputs["gru1_h0"] = ((1, 64, 32), OP.TP_FLOAT)
+        outputs["gru1_Y_h"] = ((1, 64, 32), OP.TP_FLOAT)
+    return W.build_model(
+        nodes=nodes, inputs=inputs, outputs=outputs, initializers=inits)
+
+
+def mgk_to_onnx(path: str, streaming: bool = False) -> bytes:
+    """`.mgk` -> ONNX bytes for recognized architectures (the CLI
+    ``decompile --onnx`` role; reference: ``mgk-decompiler --onnx``)."""
+    elf, meta = load_mgk(path)
+    kinds = {l.kind for l in meta.layers}
+    if "GRU" in kinds:
+        return export_aec_onnx(elf, streaming=streaming)
+    raise NotImplementedError(
+        f"no ONNX exporter for this .mgk family (kinds: {sorted(kinds)})")
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -336,19 +701,16 @@ def extract_weights(path: str, out_dir: str) -> None:
         np.save(os.path.join(out_dir, f"{name}.npy"), arr)
 
 
-def import_mgk(path: str):
-    """Import a recognized `.mgk` model as a runnable IR graph.
+def import_mgk(path: str, streaming: bool = False):
+    """Import a recognized `.mgk` model as a runnable IR graph with its
+    REAL per-layer weights.
 
-    Currently recognizes the AEC (acoustic echo cancellation) audio model
-    family by its QuantizeFeature/QuantizeGRU layer signature; builds the
-    U-Net + GRU architecture (``models/aec.py``) and attaches extracted
-    weights where offsets are known.
+    The `.mgk` is decompiled offline (never dlopen'd — SURVEY §7) to
+    ONNX via the numerically verified weight map, then imported through
+    the standard ONNX front end so it runs on the same engine as every
+    other model. ``streaming=True`` exposes gru1's hidden state as a
+    graph input/output for cross-window carry (``models.aec.AECStream``).
     """
-    elf, meta = load_mgk(path)
-    kinds = {l.kind for l in meta.layers}
-    if "GRU" in kinds:
-        from thingino_accel_tpu.models import aec
-        return aec.build_aec_graph(weights_blob=elf.appended, meta=meta)
-    raise NotImplementedError(
-        f"unrecognized .mgk architecture (layer kinds: {sorted(kinds)}); "
-        "use inspect_mgk/extract_weights for offline analysis")
+    from thingino_accel_tpu.formats.onnx import import_onnx
+    return import_onnx(mgk_to_onnx(path, streaming=streaming),
+                       float32=True)

@@ -814,6 +814,14 @@ def _h_gru(ctx: _Ctx, n: OP.NodeProto) -> None:
     ins = [x, wn, rn]
     if b is not None:
         ins.append(ctx.add_const(f"{n.outputs[0]}__b", b.astype(np.float32)))
+    # ONNX input 5 = initial_h [D, B, H] (input 4, sequence_lens, is
+    # unsupported/skipped); IR GRU takes it as the 5th input
+    if len(n.inputs) > 5 and n.inputs[5]:
+        if b is None:   # the IR convention needs the bias slot filled
+            ins.append(ctx.add_const(
+                f"{n.outputs[0]}__b",
+                np.zeros((ndir, 6 * hidden), np.float32)))
+        ins.append(ctx.resolve(n.inputs[5]))
     y = ctx.add_act(n.outputs[0], (t, ndir, bsz, hidden), np.float32)
     ctx.onnx4d.add(y)   # GRU Y is [T, dirs, B, H] ONNX order, not NHWC
     outs = [y]

@@ -278,3 +278,37 @@ class AECModel:
     @property
     def graph(self):
         raise AttributeError("AEC .mgk models use the streaming API")
+
+
+class AECStream:
+    """Streaming wrapper over the DECOMPILED `.mgk` graph (real weights,
+    ``formats.mgk.import_mgk(streaming=True)``).
+
+    Carries gru1's hidden state across 8-frame windows — the recurrence
+    the reference streams in ``scripts/aec_inference.py`` (its
+    ``[64,1,1,32]`` hidden state); gru2 is bidirectional within the
+    window and resets per step, matching the reference's behavior.
+    Each ``run`` consumes one [B, 256, 8] log1p-magnitude window and
+    returns the [B, 256, 2] sigmoid mask for the window's last frame.
+    """
+
+    def __init__(self, graph):
+        from thingino_accel_tpu.runtime import Engine
+        self.graph = graph
+        self.engine = Engine(graph)
+        self._in = graph.inputs[0]
+        self._h_in = next(i for i in graph.inputs if "h0" in i)
+        outs = list(graph.outputs)
+        self._mask_out = next(o for o in outs if o == "output")
+        self._h_out = next(o for o in outs if "Y_h" in o)
+
+    def init_state(self) -> np.ndarray:
+        shape = self.graph.tensors[self._h_in].shape
+        return np.zeros(shape, np.float32)
+
+    def run(self, window: np.ndarray, state=None):
+        if state is None:
+            state = self.init_state()
+        out = self.engine.run(**{self._in: np.asarray(window, np.float32),
+                                 self._h_in: state})
+        return np.asarray(out[self._mask_out]), out[self._h_out]

@@ -74,7 +74,11 @@ def istft(spec: jax.Array, n_samples: Optional[int] = None) -> jax.Array:
         frames.reshape(b, -1))
     norm = norm.at[idx.reshape(-1)].add(
         jnp.tile(win_sq, (t,)))
-    out = out / jnp.maximum(norm, 1e-8)[None, :]
+    # floor the OLA normalizer: at the first/last hops only a window
+    # tail covers each sample, and dividing masked (inconsistent)
+    # frames by a near-zero window-sum amplifies edge residuals by
+    # orders of magnitude — attenuate edges instead of exploding them
+    out = out / jnp.maximum(norm, 1e-2)[None, :]
     if n_samples is not None:
         if out.shape[1] < n_samples:      # tail beyond the last full frame
             out = jnp.pad(out, ((0, 0), (0, n_samples - out.shape[1])))
@@ -102,5 +106,29 @@ def process_wav(model, audio: np.ndarray, chunk: int = 8) -> np.ndarray:
     mask = jnp.asarray(np.concatenate(masks, axis=2))    # [1, 256, T']
     t_used = mask.shape[2]
     cleaned = spec[:, :, :t_used] * mask.astype(spec.dtype)
+    out = istft(cleaned, n_samples=len(audio))
+    return np.asarray(out[0])
+
+
+def process_wav_stream(stream, audio: np.ndarray) -> np.ndarray:
+    """Streaming AEC over a waveform with the decompiled `.mgk` model
+    (``models.aec.AECStream``): sliding 8-frame log1p-magnitude window
+    -> per-window [256, 2] mask, channel 0 applied to the window's LAST
+    frame, hop-overlap-add — the reference's ``scripts/aec_inference.py``
+    application semantics."""
+    x = jnp.asarray(audio[None])
+    spec = stft(x)                                  # [1, 256, T] complex
+    mag = np.asarray(jnp.log1p(jnp.abs(spec)), np.float32)
+    t = spec.shape[2]
+    n_frames = 8
+    if t < n_frames:
+        return np.asarray(audio)
+    state = None
+    mask_frames = np.ones((1, FREQ_BINS, t), np.float32)
+    for i in range(t - n_frames + 1):
+        window = mag[:, :, i:i + n_frames]
+        m, state = stream.run(window, state)        # [1, 256, 2]
+        mask_frames[:, :, i + n_frames - 1] = m[0, :, 0]
+    cleaned = spec * jnp.asarray(mask_frames).astype(spec.dtype)
     out = istft(cleaned, n_samples=len(audio))
     return np.asarray(out[0])

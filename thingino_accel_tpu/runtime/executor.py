@@ -731,6 +731,8 @@ def _lower_gru(node: Node, env: Dict[str, jax.Array]) -> None:
     r = env[node.inputs[2]].astype(jnp.float32)     # [D, 3H, H]
     b = env[node.inputs[3]].astype(jnp.float32) if len(node.inputs) > 3 \
         else None                                   # [D, 6H]
+    h0s = env[node.inputs[4]].astype(jnp.float32) \
+        if len(node.inputs) > 4 else None           # [D, B, H] initial_h
     hs = a["hidden_size"]
     lbr = bool(a.get("linear_before_reset", 0))
     direction = a.get("direction", "forward")
@@ -742,7 +744,7 @@ def _lower_gru(node: Node, env: Dict[str, jax.Array]) -> None:
 
     t, bsz, _ = x.shape
 
-    def run_dir(wT, rT, wbi, rbi, reverse):
+    def run_dir(wT, rT, wbi, rbi, reverse, h0=None):
         def step(h, x_t):
             gi = x_t @ wT + wbi                      # [B, 3H] (z, r, h)
             gz, gr, gh = (gi[:, :hs], gi[:, hs:2 * hs], gi[:, 2 * hs:])
@@ -760,7 +762,8 @@ def _lower_gru(node: Node, env: Dict[str, jax.Array]) -> None:
                               + rbi[2 * hs:])
             h2 = (1.0 - z) * n_ + z * h
             return h2, h2
-        h0 = jnp.zeros((bsz, hs), jnp.float32)
+        if h0 is None:
+            h0 = jnp.zeros((bsz, hs), jnp.float32)
         hT, ys = jax.lax.scan(step, h0, x, reverse=reverse)
         return ys, hT
 
@@ -768,7 +771,8 @@ def _lower_gru(node: Node, env: Dict[str, jax.Array]) -> None:
     finals = []
     for d, (wT, rT, wbi, rbi) in enumerate(dirs):
         rev = (direction == "reverse") or (d == 1)
-        ys, hT = run_dir(wT, rT, wbi, rbi, rev)
+        ys, hT = run_dir(wT, rT, wbi, rbi, rev,
+                         h0s[d] if h0s is not None else None)
         outs.append(ys)
         finals.append(hT)
     y = jnp.stack(outs, axis=1)          # [T, D, B, H]
