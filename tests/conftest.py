@@ -27,11 +27,20 @@ import pytest
 REFERENCE_MODELS = "/root/reference/models"
 
 
+FIXTURES = os.path.join(os.path.dirname(__file__), "..", "models",
+                        "fixtures")
+
+
 def reference_model(name: str) -> str:
     path = os.path.join(REFERENCE_MODELS, name)
-    if not os.path.exists(path):
-        pytest.skip(f"reference model {name} not available")
-    return path
+    if os.path.exists(path):
+        return path
+    # committed fixtures stand in for the small bundled files so the
+    # suite runs hermetically when the reference tree is absent
+    fallback = os.path.join(FIXTURES, name)
+    if os.path.exists(fallback):
+        return fallback
+    pytest.skip(f"reference model {name} not available")
 
 
 @pytest.fixture
