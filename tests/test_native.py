@@ -2,6 +2,7 @@
 implementations, JPEG decode round-trip, NMS parity."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -75,3 +76,71 @@ def test_nms_matches_device(lib, rng):
                                  np.asarray(dets.valid)) if v)
     nat = sorted(round(float(scores[i]), 5) for i in keep)
     assert nat == dev
+
+
+def test_c_abi_engine_shim():
+    """The C-ABI engine (libtat_engine.so, reference surface:
+    include/nna_model.h:45-116) loads a committed .mars fixture and runs
+    inference through host buffers — driven here via ctypes, exactly as
+    a C host would call it."""
+    import ctypes
+
+    lib_path = os.path.join(os.path.dirname(__file__), "..", "csrc",
+                            "libtat_engine.so")
+    if not os.path.exists(lib_path):
+        pytest.skip("libtat_engine.so not built (run make -C csrc)")
+    lib = ctypes.CDLL(lib_path)
+    lib.tat_model_load.restype = ctypes.c_void_p
+    lib.tat_model_load.argtypes = [ctypes.c_char_p]
+    lib.tat_model_get_input.restype = ctypes.c_void_p
+    lib.tat_model_get_input.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.tat_model_get_output.restype = ctypes.c_void_p
+    lib.tat_model_get_output.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.tat_tensor_data.restype = ctypes.c_void_p
+    lib.tat_tensor_data.argtypes = [ctypes.c_void_p]
+    lib.tat_tensor_bytes.restype = ctypes.c_int64
+    lib.tat_tensor_bytes.argtypes = [ctypes.c_void_p]
+    lib.tat_tensor_ndim.restype = ctypes.c_int
+    lib.tat_tensor_ndim.argtypes = [ctypes.c_void_p]
+    lib.tat_tensor_dtype.restype = ctypes.c_char_p
+    lib.tat_tensor_dtype.argtypes = [ctypes.c_void_p]
+    lib.tat_model_run.argtypes = [ctypes.c_void_p]
+    lib.tat_model_unload.argtypes = [ctypes.c_void_p]
+    lib.tat_last_error.restype = ctypes.c_char_p
+    lib.tat_model_num_inputs.argtypes = [ctypes.c_void_p]
+    lib.tat_model_num_inputs.restype = ctypes.c_int
+    lib.tat_model_num_outputs.argtypes = [ctypes.c_void_p]
+    lib.tat_model_num_outputs.restype = ctypes.c_int
+
+    fixture = os.path.join(os.path.dirname(__file__), "..", "models",
+                           "fixtures", "test_conv.mars")
+    model = lib.tat_model_load(fixture.encode())
+    assert model, lib.tat_last_error().decode()
+    assert lib.tat_model_num_inputs(model) == 1
+    assert lib.tat_model_num_outputs(model) >= 1
+
+    tin = lib.tat_model_get_input(model, 0)
+    n_in = lib.tat_tensor_bytes(tin)
+    assert lib.tat_tensor_dtype(tin) == b"int8"
+    rng = np.random.default_rng(0)
+    payload = rng.integers(-128, 128, n_in, dtype=np.int8).tobytes()
+    ctypes.memmove(lib.tat_tensor_data(tin), payload, n_in)
+
+    rc = lib.tat_model_run(model)
+    assert rc == 0, lib.tat_last_error().decode()
+
+    tout = lib.tat_model_get_output(model, 0)
+    n_out = lib.tat_tensor_bytes(tout)
+    out = np.frombuffer(ctypes.string_at(lib.tat_tensor_data(tout), n_out),
+                        np.int8)
+    assert out.size == n_out and np.any(out != 0)
+
+    # cross-check against the Python engine on the same payload
+    from thingino_accel_tpu.runtime import Engine
+    eng = Engine.from_mars(fixture)
+    x = np.frombuffer(payload, np.int8).reshape(
+        eng.graph.tensors[eng.graph.inputs[0]].shape)
+    ref = list(eng.run_np(x).values())[0].reshape(-1)
+    np.testing.assert_array_equal(out, ref)
+
+    lib.tat_model_unload(model)
