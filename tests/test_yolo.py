@@ -244,3 +244,28 @@ def test_nms_crowded_scene_pool(rng):
     ref_scores = [round(float(scores[i]), 5) for i in ref_idx]
     assert got2 <= set(ref_scores)
     assert set(ref_scores[:40]) <= got2
+
+
+def test_detect_postprocess_topk_matches_full_decode(rng):
+    """Score->topk->decode-survivors == full decode + NMS (same pool)."""
+    feats = [jnp.asarray((rng.normal(size=(2, s, s, 255)) * 18).astype(np.int8))
+             for s in (16, 8, 4)]
+    scales = [0.08, 0.09, 0.1]
+    heads = [f.astype(jnp.float32) * s for f, s in zip(feats, scales)]
+    boxes, conf, cls = yolo.decode_and_parse(heads)
+    ref = yolo.nms_batched(boxes, conf, cls, conf_thresh=0.25,
+                           iou_thresh=0.45, max_dets=50, pre_nms=256)
+    got = yolo.detect_postprocess_topk(
+        feats, scales=scales, conf_thresh=0.25, iou_thresh=0.45,
+        max_dets=50, pre_nms=256)
+    for b in range(2):
+        rv = np.asarray(ref.valid[b]); gv = np.asarray(got.valid[b])
+        assert rv.sum() == gv.sum()
+        np.testing.assert_allclose(
+            np.asarray(got.scores[b])[gv], np.asarray(ref.scores[b])[rv],
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got.boxes[b])[gv], np.asarray(ref.boxes[b])[rv],
+            rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(got.classes[b])[gv], np.asarray(ref.classes[b])[rv])

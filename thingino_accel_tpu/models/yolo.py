@@ -284,6 +284,95 @@ def decode_anchor_free(
             jnp.concatenate(all_c, 1))
 
 
+def make_anchor_tables(
+    shapes: Sequence[Tuple[int, int]],
+    anchors: np.ndarray = YOLOV5_ANCHORS,
+    strides: Sequence[int] = YOLOV5_STRIDES,
+) -> Dict[str, np.ndarray]:
+    """Flat per-candidate lookup tables (grid x/y, anchor w/h, stride)
+    over all pyramid levels, in head-concat order. ~100 KB of constants
+    that let the decode run on top-k survivors only."""
+    gx, gy, aw, ah, st = [], [], [], [], []
+    for (h, w), anc, s in zip(shapes, anchors, strides):
+        a = anc.shape[0]
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        for arrs, vals in ((gx, np.broadcast_to(xx[..., None], (h, w, a))),
+                           (gy, np.broadcast_to(yy[..., None], (h, w, a)))):
+            arrs.append(vals.reshape(-1).astype(np.float32))
+        aw.append(np.broadcast_to(anc[None, None, :, 0],
+                                  (h, w, a)).reshape(-1).astype(np.float32))
+        ah.append(np.broadcast_to(anc[None, None, :, 1],
+                                  (h, w, a)).reshape(-1).astype(np.float32))
+        st.append(np.full(h * w * a, s, np.float32))
+    return {k: np.concatenate(v) for k, v in
+            (("gx", gx), ("gy", gy), ("aw", aw), ("ah", ah), ("st", st))}
+
+
+def detect_postprocess_topk(
+    feats: Sequence[jax.Array],       # per-level [B, H, W, A*(5+NC)]
+    scales: Optional[Sequence[float]] = None,
+    anchors: np.ndarray = YOLOV5_ANCHORS,
+    strides: Sequence[int] = YOLOV5_STRIDES,
+    num_classes: int = 80,
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_dets: int = 100,
+    pre_nms: int = 256,
+) -> Detections:
+    """Score -> top-k -> decode-survivors-only -> NMS.
+
+    The full decode computes sigmoid/anchor math for all 25200
+    candidates; here only confidences (obj x best-class, both monotone
+    in the raw int8 logits) touch every candidate, the box math runs on
+    the ``pre_nms`` survivors via gathered anchor tables. One 1-byte
+    pass over the heads + O(pre_nms) everything else."""
+    a = anchors.shape[1]
+    flats, confs, clss = [], [], []
+    for i, feat in enumerate(feats):
+        b, h, w, ch = feat.shape
+        x = feat.reshape(b, h * w * a, 5 + num_classes)
+        sc = jnp.float32(scales[i]) if scales is not None else jnp.float32(1)
+        obj = jax.nn.sigmoid(x[..., 4].astype(jnp.float32) * sc)
+        best = jnp.max(x[..., 5:], axis=-1).astype(jnp.float32) * sc
+        confs.append(obj * jax.nn.sigmoid(best))
+        clss.append(jnp.argmax(x[..., 5:], axis=-1).astype(jnp.int32))
+        flats.append(x[..., :4])
+    conf = jnp.concatenate(confs, axis=1)            # [B, N]
+    cls = jnp.concatenate(clss, axis=1)
+    raw4 = jnp.concatenate(flats, axis=1)            # [B, N, 4] raw logits
+    n = conf.shape[1]
+    k = min(pre_nms, n)
+
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    tab = make_anchor_tables(shapes, anchors, strides)
+    gx, gy = jnp.asarray(tab["gx"]), jnp.asarray(tab["gy"])
+    aw, ah = jnp.asarray(tab["aw"]), jnp.asarray(tab["ah"])
+    st = jnp.asarray(tab["st"])
+    lvl_scale = None
+    if scales is not None:
+        lvl_scale = jnp.concatenate([
+            jnp.full((f.shape[1] * f.shape[2] * a,), jnp.float32(s))
+            for f, s in zip(feats, scales)])
+
+    def one(conf_i, cls_i, raw_i):
+        masked = jnp.where(conf_i >= conf_thresh, conf_i, 0.0)
+        top, idx = jax.lax.top_k(masked, k)
+        r = raw_i[idx].astype(jnp.float32)           # [k, 4]
+        if lvl_scale is not None:
+            r = r * lvl_scale[idx][:, None]
+        sig = jax.nn.sigmoid(r)
+        xy_x = (sig[:, 0] * 2.0 - 0.5 + gx[idx]) * st[idx]
+        xy_y = (sig[:, 1] * 2.0 - 0.5 + gy[idx]) * st[idx]
+        wh_w = jnp.square(sig[:, 2] * 2.0) * aw[idx]
+        wh_h = jnp.square(sig[:, 3] * 2.0) * ah[idx]
+        boxes = jnp.stack([xy_x, xy_y, wh_w, wh_h], axis=-1)
+        return nms_fixed(boxes, top, cls_i[idx],
+                         conf_thresh=conf_thresh, iou_thresh=iou_thresh,
+                         max_dets=max_dets, pre_nms=k)
+
+    return jax.vmap(one)(conf, cls, raw4)
+
+
 def parse_predictions(
     pred: jax.Array,              # [B, N, 5+NC] int8 or f32
     scale: float = 1.0,
