@@ -358,6 +358,70 @@ def conv2d_int8_im2col_fused(
 
 
 # ---------------------------------------------------------------------------
+# Manually pipelined halo conv: double-buffered slab DMA
+# ---------------------------------------------------------------------------
+#
+# The BlockSpec-pipelined halo kernel executes each grid cell's
+# DMA + tap-dots + epilogue serially (measured ~160 T/s vs the ~390
+# MXU floor). This variant keeps the input in HBM (ANY memory space)
+# and overlaps the next row-slab's DMA with the current tile's compute
+# via an explicit two-slot VMEM buffer + DMA semaphores; one grid cell
+# covers a whole image (per output-channel block), so the row loop
+# amortizes all per-cell overhead.
+
+
+def _halo_kernel_dma(x_any, w_ref, bias_ref, cs_ref, out_ref, *,
+                     kh: int, qw: int, s: int, tile_h: int, ow: int,
+                     n_tiles: int, halo_pairs: int,
+                     act: str, inv_out: float, alpha: float):
+    ni = pl.program_id(0)
+
+    def body(slab, sem):
+        def dma(slot, ti):
+            return pltpu.make_async_copy(
+                x_any.at[ni, pl.ds(ti * tile_h, halo_pairs)],
+                slab.at[slot], sem.at[slot])
+
+        dma(0, 0).start()
+
+        def loop(ti, carry):
+            cur = jax.lax.rem(ti, 2)
+            nxt = jax.lax.rem(ti + 1, 2)
+
+            @pl.when(ti + 1 < n_tiles)
+            def _():
+                dma(nxt, ti + 1).start()
+
+            dma(cur, ti).wait()
+            sl = slab[cur]                  # [halo_pairs, s, Wq, Cq]
+            cq = sl.shape[3]
+            acc = None
+            for dy in range(kh):
+                qy, py = divmod(dy, s)
+                for qx in range(qw):
+                    t_ = sl[qy:qy + tile_h, py, qx:qx + ow, :]
+                    p = jax.lax.dot_general(
+                        t_.reshape(tile_h * ow, cq), w_ref[dy * qw + qx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = p if acc is None else acc + p
+            q = _epilogue(acc, bias_ref[:], cs_ref[:],
+                          act=act, inv_out=inv_out, alpha=alpha)
+            out_ref[0, pl.ds(ti * tile_h, tile_h)] = \
+                q.reshape(tile_h, ow, -1)
+            return carry
+
+        jax.lax.fori_loop(0, n_tiles, loop, 0)
+
+    pl.run_scoped(
+        body,
+        slab=pltpu.VMEM((2, halo_pairs) + tuple(x_any.shape[2:]),
+                        jnp.int8),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fold-layout convs: activations stored [B, H, W/f, f*C]
 # ---------------------------------------------------------------------------
 #
@@ -448,6 +512,7 @@ def conv2d_int8_folded(
     tile_h: Optional[int] = None,
     block_n: int = 512,
     keep_phys: bool = False,     # emit lane-padded channels (no slice)
+    pipeline: str = "blockspec",  # "blockspec" | "dma" (manual 2-slot)
 ) -> jax.Array:
     """Folded-layout conv: consumes [N, H, Wg, g*C], emits
     [N, OH, OWg, f_out*O] (or lane-padded with ``keep_phys``). One
@@ -510,6 +575,9 @@ def conv2d_int8_folded(
 
     # W: q_shift zero groups left; right cover (ow_g - 1) + qw groups
     need_wg = (ow_g - 1) + qw
+    if pipeline == "dma":
+        # manual DMA slices need the (sublane) W dim 8-aligned
+        need_wg = _round_up(need_wg, 8)
     pad_wl = q_shift
     pad_wr = max(0, need_wg - pad_wl - wg)
     # H: pt rows top; bottom to s * ((n_tiles-1)*tile_h + tile_h + qh)
@@ -522,6 +590,37 @@ def conv2d_int8_folded(
                                       (pad_wl, pad_wr), (0, cp - gc)))
     wq_tot = x_folded.shape[2]
     x5 = x_folded[:, :need_rows].reshape(n, need_rows // s, s, wq_tot, cp)
+
+    if pipeline == "dma":
+        # one cell per (image, channel-block); in-kernel row loop with
+        # two-slot slab DMA overlapping the next tile's fetch
+        grid = (n, _cdiv(op, block_n))
+        kernel = functools.partial(
+            _halo_kernel_dma, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow_g,
+            n_tiles=n_tiles_h, halo_pairs=halo_pairs,
+            act=act, inv_out=inv_out, alpha=alpha)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((kh * qw, cp, block_n),
+                             lambda ni, oi: (0, 0, oi)),
+                pl.BlockSpec((1, block_n), lambda ni, oi: (0, oi)),
+                pl.BlockSpec((1, block_n), lambda ni, oi: (0, oi)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_tiles_h * tile_h, ow_g, block_n),
+                lambda ni, oi: (ni, 0, 0, oi)),
+            out_shape=jax.ShapeDtypeStruct(
+                (n, n_tiles_h * tile_h, ow_g, op), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+        )(x5, wk, b, cs)
+        out = out[:, :oh]
+        if op != no and not keep_phys:
+            out = out[..., :no]
+        return out
 
     grid = (n, n_tiles_h, _cdiv(op, block_n))
     kernel = functools.partial(
