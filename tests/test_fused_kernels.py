@@ -204,3 +204,42 @@ def test_conv_folded_concat_parts(rng):
     ref = _oracle(acc, None, 0.05, 0.02, 0.1, "SILU")
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1
+
+
+@pytest.mark.parametrize("k,c", [(3, 32), (5, 64), (3, 130)])
+def test_depthwise_fused_vs_reference(rng, k, c):
+    """Fused depthwise == the exact XLA depthwise path (RELU, scalar
+    scale -> bit parity)."""
+    from thingino_accel_tpu.ops import reference as R
+    h = w = 12
+    pad = (k - 1) // 2
+    x = jnp.asarray(rng.integers(-128, 128, (2, h, w, c), dtype=np.int8))
+    wt = jnp.asarray(rng.integers(-64, 64, (k, k, c), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-500, 500, (c,), dtype=np.int32))
+    got = np.asarray(FK.depthwise_conv2d_int8_fused(
+        x, wt, b, (h, w), (1, 1), ((pad, pad), (pad, pad)),
+        0.05, 0.02, 0.1, act="RELU"))
+    ref = np.asarray(R.depthwise_conv2d_int8(
+        x, wt, b, (h, w), (1, 1), (1, 1), ((pad, pad), (pad, pad)),
+        0.05, 0.02, 0.1, relu=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_depthwise_fused_silu_per_channel(rng):
+    h = w = 8
+    c = 48
+    x = jnp.asarray(rng.integers(-100, 100, (1, h, w, c), dtype=np.int8))
+    wt = jnp.asarray(rng.integers(-64, 64, (3, 3, c), dtype=np.int8))
+    ws = rng.uniform(0.005, 0.05, c).astype(np.float32)
+    got = np.asarray(FK.depthwise_conv2d_int8_fused(
+        x, wt, None, (h, w), (1, 1), ((1, 1), (1, 1)),
+        0.05, ws, 0.1, act="SILU"))
+    # oracle
+    xp = np.pad(np.asarray(x, np.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = np.zeros((1, h, w, c), np.int32)
+    for dy in range(3):
+        for dx in range(3):
+            acc += xp[:, dy:dy + h, dx:dx + w, :] * \
+                np.asarray(wt, np.int32)[dy, dx]
+    ref = _oracle(acc, None, 0.05, ws, 0.1, "SILU")
+    assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1

@@ -232,11 +232,22 @@ def decode_and_parse(
             jnp.asarray(anchors[i], jnp.float32)[None, None, :, :]
         obj = sig5[..., 4]
         cls_logits = x[..., 5:]
-        best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
+        if jnp.issubdtype(cls_logits.dtype, jnp.integer):
+            # fused max+argmax in ONE reduction: pack (logit, 255-idx)
+            # into int16 so the max carries the first-occurrence argmax
+            # in its low byte — halves the pass over the class dim
+            iota = jax.lax.broadcasted_iota(
+                jnp.int16, cls_logits.shape, cls_logits.ndim - 1)
+            comb = cls_logits.astype(jnp.int16) * 256 + (255 - iota)
+            cmax = jnp.max(comb, axis=-1)
+            best_logit = (cmax >> 8).astype(jnp.float32)
+            cls = (255 - (cmax & 255)).astype(jnp.int32)
+        else:
+            best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
+            cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         if sc is not None:
             best_logit = best_logit * sc
         conf = obj * jax.nn.sigmoid(best_logit)
-        cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         n = h * w * a
         all_boxes.append(jnp.concatenate([xy, wh], -1).reshape(b, n, 4))
         all_conf.append(conf.reshape(b, n))

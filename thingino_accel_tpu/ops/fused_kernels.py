@@ -671,6 +671,113 @@ def fold_layout(x: jax.Array, f: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Fused depthwise conv (VPU multiply-accumulate over taps)
+# ---------------------------------------------------------------------------
+
+
+def _dw_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, *,
+               kh: int, kw: int, s: int, tile_h: int, ow: int,
+               act: str, inv_out: float, alpha: float):
+    # x_ref: [1, halo_pairs, s, Wp, C]; w_ref: [kh*kw, 1, C] (broadcast
+    # rows); out_ref: [1, tile_h, ow, C]. Depthwise has no contraction
+    # dim, so taps are VPU multiply-accumulates, not MXU dots.
+    acc = None
+    slab = x_ref[0]
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = slab[dy:dy + tile_h, 0, dx:dx + ow, :]
+            p = sl.astype(jnp.int32) * w_ref[dy * kw + dx].astype(jnp.int32)
+            acc = p if acc is None else acc + p
+    acc2 = acc.reshape(tile_h * ow, -1)
+    q = _epilogue(acc2, bias_ref[:], cs_ref[:],
+                  act=act, inv_out=inv_out, alpha=alpha)
+    out_ref[:] = q.reshape(1, tile_h, ow, -1)
+
+
+def depthwise_conv2d_int8_fused(
+    x: jax.Array,                # [N, H, W, C] int8
+    w_khkwc: jax.Array,          # [KH, KW, C] int8
+    bias: Optional[jax.Array],   # [C] int32
+    out_hw: Tuple[int, int],
+    stride: Tuple[int, int],
+    pads: Tuple[Tuple[int, int], Tuple[int, int]],
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+    tile_h: Optional[int] = None,
+) -> jax.Array:
+    """Fused int8 depthwise conv: halo row slabs, per-tap VPU
+    multiply-accumulate, requant/activation epilogue before the single
+    int8 write. Stride-1 only (strided depthwise is rare and the XLA
+    reference path covers it); the reference never implemented
+    depthwise at all (``mars_runtime.c:1168-1213`` TODO)."""
+    if stride != (1, 1):
+        raise ValueError("fused depthwise kernel is stride-1 only")
+    n, h, wd, c = x.shape
+    kh, kw, _ = w_khkwc.shape
+    oh, ow = out_hw
+    (pt, pb), (pl_, pr) = pads
+    # W: cover (ow - 1) + kw columns
+    pr = max(pr, (ow - 1) + kw - (wd + pl_))
+    xp = jnp.pad(x, ((0, 0), (pt, 0), (pl_, pr), (0, 0)))
+    cp = _round_up(c, 128)
+    if cp != c:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    wk = jnp.pad(w_khkwc, ((0, 0), (0, 0), (0, cp - c)))
+    wk = wk.reshape(kh * kw, 1, cp)
+    ws = jnp.asarray(w_scale, jnp.float32)
+    if ws.ndim == 0:
+        ws = jnp.full((c,), ws, jnp.float32)
+    b0 = bias if bias is not None else jnp.zeros((c,), jnp.int32)
+    b, cs, inv_out = _scale_rows(b0, ws, in_scale, out_scale, act, c, cp)
+
+    if tile_h is None:
+        target = min(oh, max(8, 2048 // max(ow, 1)))
+        tile_h = target
+        while tile_h > 1 and oh % tile_h:
+            tile_h -= 1
+        if tile_h < min(8, target):
+            tile_h = target
+    tile_h = min(tile_h, oh)
+    n_tiles_h = _cdiv(oh, tile_h)
+    halo_pairs = tile_h + kh - 1
+    need_rows = (n_tiles_h - 1) * tile_h + halo_pairs
+    if xp.shape[1] < need_rows:
+        xp = jnp.pad(xp, ((0, 0), (0, need_rows - xp.shape[1]),
+                          (0, 0), (0, 0)))
+    wp_cols = xp.shape[2]
+    x5 = xp[:, :need_rows].reshape(n, need_rows, 1, wp_cols, cp)
+
+    grid = (n, n_tiles_h)
+    kernel = functools.partial(
+        _dw_kernel, kh=kh, kw=kw, s=1, tile_h=tile_h, ow=ow,
+        act=act, inv_out=inv_out, alpha=alpha)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_PL_ELEMENT(1), _PL_ELEMENT(halo_pairs), _PL_ELEMENT(1),
+                 _PL_ELEMENT(wp_cols), _PL_ELEMENT(cp)),
+                lambda ni, ti: (ni, ti * tile_h, 0, 0, 0)),
+            pl.BlockSpec((kh * kw, 1, cp), lambda ni, ti: (0, 0, 0)),
+            pl.BlockSpec((1, cp), lambda ni, ti: (0, 0)),
+            pl.BlockSpec((1, cp), lambda ni, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, ow, cp), lambda ni, ti: (ni, ti, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n_tiles_h * tile_h, ow, cp), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x5, wk, b, cs)
+    out = out[:, :oh]
+    if cp != c:
+        out = out[..., :c]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Thin-input stem via XLA bf16 (exact)
 # ---------------------------------------------------------------------------
 

@@ -258,6 +258,42 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
     def scale(nm):
         return tensors[nm].quant.scale
 
+    # fused depthwise (stride-1, int8): VPU tap kernel with the
+    # requant/activation epilogue in VMEM
+    if op in ("CONV2D", "DEPTHWISE_CONV2D") and len(node.inputs) >= 2:
+        in_t = tensors[node.inputs[0]]
+        groups = a.get("groups", 1)
+        cin = in_t.shape[3] if len(in_t.shape) == 4 else 0
+        is_dw = (op == "DEPTHWISE_CONV2D"
+                 or (groups > 1 and groups == cin))
+        if (is_dw and _is_int8(in_t) and _is_int8(tensors[out_name])
+                and a.get("stride", (1, 1)) == (1, 1)
+                and a.get("dilation", (1, 1)) == (1, 1)
+                and len(in_t.shape) == 4 and 0 not in in_t.shape):
+            act = a.get("activation", "NONE")
+            f_act = act if act in FK.ACTS else "NONE"
+            _unfold_inputs(node, env, tensors, plan)
+            x = env[node.inputs[0]]
+            w = env[node.inputs[1]]           # [KH, KW, C] (prepare_params)
+            bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
+            wt_info = tensors[node.inputs[1]]
+            ws = (wt_info.channel_scales
+                  if wt_info.channel_scales is not None
+                  else scale(node.inputs[1]))
+            out_hw = _nhwc_out_hw(tensors[out_name])
+            pads = R._conv_pads(
+                (in_t.shape[1], in_t.shape[2]), out_hw, a["kernel"],
+                a["stride"], a["dilation"], a["padding"],
+                a["explicit_pad"])
+            out = FK.depthwise_conv2d_int8_fused(
+                x, w, bias, out_hw, (1, 1), pads,
+                scale(node.inputs[0]), ws, scale(out_name),
+                act=f_act, alpha=a.get("alpha", 0.01) or 0.01)
+            if f_act != act:
+                out = _apply_fused_act(out, act, out_t, compat=False)
+            env[out_name] = out
+            return True
+
     if _conv_fold_eligible(node, tensors):
         act = a.get("activation", "NONE")
         f_act = act if act in FK.ACTS else "NONE"
