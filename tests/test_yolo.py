@@ -269,3 +269,27 @@ def test_detect_postprocess_topk_matches_full_decode(rng):
             rtol=1e-4, atol=1e-3)
         np.testing.assert_array_equal(
             np.asarray(got.classes[b])[gv], np.asarray(ref.classes[b])[rv])
+
+
+def test_top_k_grouped_exact(rng):
+    from thingino_accel_tpu.models.yolo import top_k_grouped
+    # distinct values: must match lax.top_k exactly (values and indices)
+    n = 25200
+    s = jnp.asarray(rng.permutation(n).astype(np.float32))
+    for k in (100, 256, 500):
+        v, i = top_k_grouped(s, k)
+        ve, ie = jax.lax.top_k(s, k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(ve))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ie))
+    # ties + sparse zeros (the NMS masked-score shape): value sets match
+    s2 = np.zeros(n, np.float32)
+    idxs = rng.choice(n, 400, replace=False)
+    s2[idxs] = rng.integers(1, 50, 400).astype(np.float32)  # heavy ties
+    v, i = top_k_grouped(jnp.asarray(s2), 256)
+    ve, _ = jax.lax.top_k(jnp.asarray(s2), 256)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ve))
+    # returned indices must point at the returned values
+    np.testing.assert_array_equal(np.asarray(v), s2[np.asarray(i)])
+    # k >= n passthrough
+    v, i = top_k_grouped(jnp.asarray(s2[:64]), 100)
+    assert v.shape == (64,)
