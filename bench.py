@@ -40,11 +40,17 @@ def build_pipeline(batch: int, size: str):
     precision = "exact" if os.environ.get("TAT_BENCH_EXACT") == "1" else "fast"
     accum = (None if os.environ.get("TAT_BENCH_F32ACC") == "1"
              else jnp.bfloat16)   # bf16 accumulation: +~15% (docs/KERNELS.md)
-    eng = Engine(graph, EngineOptions(precision=precision,
-                                      accum_dtype=accum))
+    # fast tier: keep head outputs in bf16 (quantize_outputs=False) —
+    # the int8 edge costs a relayout + clamp/convert per head (~20
+    # us/frame) and decode consumes them immediately; bf16 heads are
+    # strictly closer to the f32 oracle than int8-requantized ones.
+    eng = Engine(graph, EngineOptions(
+        precision=precision, accum_dtype=accum,
+        quantize_outputs=(precision != "fast")))
     in_name = eng.graph.inputs[0]
     out_names = list(eng.graph.outputs)
-    out_scales = [eng.graph.tensors[o].quant.scale for o in out_names]
+    out_scales = ([eng.graph.tensors[o].quant.scale for o in out_names]
+                  if precision != "fast" else None)
     body = eng._fn
     params = eng.params
 
