@@ -1,0 +1,114 @@
+"""Executor-level serving-tier tests (interpret mode on CPU).
+
+The serving tier (``precision="serving"``, fused pallas kernels +
+folded layouts + the XLA bf16-exact stem stage) must:
+- match the exact int8 tier BIT FOR BIT on linear/RELU graphs (the
+  tier contract in runtime/engine.py);
+- stay within quantization noise of the exact tier on SiLU graphs
+  (SiLU runs on the f32 pre-activation — one fewer requantization).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from thingino_accel_tpu.models import zoo
+from thingino_accel_tpu.runtime import Engine, EngineOptions
+from thingino_accel_tpu.runtime.executor import _plan_folds
+from thingino_accel_tpu.ir.passes import fuse_act_into_conv
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _stem_graph(act: str, hw=(64, 64)):
+    """stem-shaped chain: 6x6/2 3->8, 3x3/2 8->16, 1x1 16->32."""
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=hw)
+    b = zoo.GraphBuilder("stemchain", cfg)
+    x = b.input("input", (1, hw[0], hw[1], 3))
+    y = b.conv(x, 8, 6, 2, act=act)
+    y = b.conv(y, 16, 3, 2, act=act)
+    y = b.conv(y, 32, 1, 1, act=act)
+    return b.finish([y])
+
+
+def test_stage_plan_yolov5s():
+    g = zoo.build_yolov5("s", zoo.ZooConfig(dtype="int8",
+                                            in_hw=(640, 640)))
+    g = fuse_act_into_conv(g)
+    plan = _plan_folds(list(g.nodes), g.tensors)
+    stem_convs = [n for n in g.nodes if n.op == "CONV2D"
+                  and n.outputs[0] in plan.stem_stage]
+    assert len(stem_convs) >= 2
+    # first conv (RGB input) chains qbf16 into the second
+    first = stem_convs[0].outputs[0]
+    assert plan.stem_emit[first] == "qbf16"
+    # the stage exit emits folded int8
+    exits = [o for o in plan.stem_emit if plan.stem_emit[o] == "int8"]
+    assert exits, plan.stem_emit
+
+
+@pytest.mark.parametrize("act", ["RELU", "NONE"])
+def test_serving_bit_exact_linear(rng, act):
+    g = _stem_graph(act)
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    exact = Engine(g, EngineOptions(precision="exact"))
+    serving = Engine(g, EngineOptions(precision="serving"))
+    oe = exact.run_np(x)
+    os_ = serving.run_np(x)
+    for k in oe:
+        np.testing.assert_array_equal(oe[k], os_[k])
+
+
+def test_serving_silu_stem_close_to_exact(rng):
+    """Shallow SiLU chain: serving (f32 SiLU in the epilogue) tracks
+    exact (requantized sigmoid+mul) within small quant noise. Deep
+    cascades diverge by design — the tiers' SiLU semantics differ and
+    exact's doubly-quantized sigmoid loses precision (ACCURACY.md shows
+    serving lands CLOSER to the f32 oracle than exact does)."""
+    g = _stem_graph("SILU")
+    x = rng.integers(-64, 64, (1, 64, 64, 3), dtype=np.int8)
+    exact = Engine(g, EngineOptions(precision="exact"))
+    serving = Engine(g, EngineOptions(precision="serving"))
+    oe = exact.run_np(x)
+    os_ = serving.run_np(x)
+    for k in oe:
+        d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
+        assert d.mean() < 3.0, (k, d.mean(), d.max())
+
+
+def test_stem_stage_bitwise_equals_legacy_path(rng):
+    """The qbf16 stem stage must be a pure optimization: full yolov5n
+    serving output is bit-identical with the stage disabled."""
+    from thingino_accel_tpu.runtime import executor as EX
+
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64)))
+    x = rng.integers(-64, 64, (1, 64, 64, 3), dtype=np.int8)
+    with_stage = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    orig = EX._plan_folds
+
+    def no_stage(nodes, tensors):
+        p = orig(nodes, tensors)
+        p.stem_stage = set()
+        p.stem_emit = {}
+        return p
+
+    EX._plan_folds = no_stage
+    try:
+        legacy = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    finally:
+        EX._plan_folds = orig
+    for k in with_stage:
+        np.testing.assert_array_equal(with_stage[k], legacy[k])

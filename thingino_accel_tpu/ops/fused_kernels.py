@@ -46,12 +46,16 @@ ACTS = ("NONE", "RELU", "LEAKY_RELU", "SILU")
 
 
 def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
-              alpha: float):
+              alpha: float, res=None, res_scale: float = 1.0):
     """int32 accumulator tile -> int8, entirely in registers/VMEM.
 
     acc: [M, N] int32; bias_row/cs_row: [1, N] (broadcast rows).
     Round rule: half away from zero (the reference conv rule,
     ``src/mars/mxu_conv.c:222-229``).
+
+    ``res``: optional int8 residual tile added AFTER the activation on
+    the f32 value (serving-tier fused ADD — one fewer intermediate
+    quantization than the interpreter's conv->requant->add chain).
     """
     acc = acc + bias_row.astype(jnp.int32)
     pre = acc.astype(jnp.float32) * cs_row
@@ -61,6 +65,8 @@ def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
         pre = jnp.where(pre >= 0, pre, jnp.float32(alpha) * pre)
     elif act == "SILU":
         pre = pre * jax.nn.sigmoid(pre)
+    if res is not None:
+        pre = pre + res.astype(jnp.float32) * jnp.float32(res_scale)
     scaled = pre * jnp.float32(inv_out)
     shifted = scaled + jnp.where(
         scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
@@ -166,6 +172,157 @@ def matmul_int8_fused(
 
 
 # ---------------------------------------------------------------------------
+# Multi-input fused matmul: conv over a channel-concat WITHOUT
+# materializing the concat (1x1 convs: cv3(concat(a, b)) = a@Wa + b@Wb),
+# with an optional fused residual add (the C3 bottleneck's
+# x + conv(...) — the add runs in the epilogue before the single int8
+# write instead of as a separate dequant/add/requant pass over HBM).
+# ---------------------------------------------------------------------------
+
+
+def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
+                     part_scales, act: str, inv_out: float, alpha: float,
+                     has_res: bool, res_scale: float):
+    xs = refs[:n_parts]
+    ws = refs[n_parts:2 * n_parts]
+    bias_ref = refs[2 * n_parts]
+    cs_ref = refs[2 * n_parts + 1]
+    res_ref = refs[2 * n_parts + 2] if has_res else None
+    out_ref = refs[2 * n_parts + 2 + int(has_res)]
+
+    def dot(i):
+        return jax.lax.dot_general(
+            xs[i][:], ws[i][:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    if same_scale:
+        acc = dot(0)
+        for i in range(1, n_parts):
+            acc = acc + dot(i)
+        out_ref[:] = _epilogue(
+            acc, bias_ref[:], cs_ref[:], act=act, inv_out=inv_out,
+            alpha=alpha, res=res_ref[:] if has_res else None,
+            res_scale=res_scale)
+    else:
+        # per-part input scales: combine partial sums in f32
+        accf = dot(0).astype(jnp.float32) * jnp.float32(part_scales[0])
+        for i in range(1, n_parts):
+            accf = accf + dot(i).astype(jnp.float32) * \
+                jnp.float32(part_scales[i])
+        accf = (accf + bias_ref[:].astype(jnp.float32)) * cs_ref[:]
+        if act == "RELU":
+            accf = jnp.maximum(accf, 0.0)
+        elif act == "LEAKY_RELU":
+            accf = jnp.where(accf >= 0, accf, jnp.float32(alpha) * accf)
+        elif act == "SILU":
+            accf = accf * jax.nn.sigmoid(accf)
+        if has_res:
+            accf = accf + res_ref[:].astype(jnp.float32) * \
+                jnp.float32(res_scale)
+        scaled = accf * jnp.float32(inv_out)
+        shifted = scaled + jnp.where(
+            scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+        out_ref[:] = jnp.clip(jnp.trunc(shifted), -128, 127) \
+            .astype(jnp.int8)
+
+
+def matmul_int8_fused_multi(
+    xs,                           # list of [M, K_i] int8
+    ws,                           # list of [K_i, N] int8
+    bias: Optional[jax.Array],    # [N] int32
+    in_scales,                    # list of floats, one per part
+    w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+    residual: Optional[jax.Array] = None,   # [M, >=N] int8
+    res_scale: float = 1.0,
+    block_m: int = 512,
+    block_n: int = 256,
+    keep_phys: bool = False,
+) -> jax.Array:
+    """``requant(act((sum_i x_i @ w_i) * s) [+ r*sr])`` — the fused
+    lowering of CONCAT -> 1x1 CONV [-> ADD]. Parts' K dims are padded
+    to 128 independently; no K-grid (1x1 conv K <= a few hundred)."""
+    m = xs[0].shape[0]
+    n = ws[0].shape[1]
+    n_parts = len(xs)
+    assert len(ws) == n_parts and len(in_scales) == n_parts
+    mp, np_ = _round_up(m, 32), _round_up(n, 128)
+    block_m = min(block_m, mp)
+    block_n = min(block_n, np_)
+
+    xs_p, ws_p = [], []
+    for x, w in zip(xs, ws):
+        k = x.shape[1]
+        kp = _round_up(k, 128)
+        xs_p.append(jnp.pad(x, ((0, mp - m), (0, kp - k)))
+                    if (m, k) != (mp, kp) else x)
+        ws_p.append(jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+                    if (k, n) != (kp, np_) else w)
+
+    same_scale = len(set(float(np.float32(s)) for s in in_scales)) == 1
+    if same_scale:
+        b, cs, inv_out = _scale_rows(
+            bias, w_scale, in_scales[0], out_scale, act, n, np_)
+    else:
+        # cs row = w_scale only; per-part in_scales applied in-kernel
+        ws_v = jnp.asarray(w_scale, jnp.float32)
+        if ws_v.ndim == 0:
+            ws_v = jnp.full((n,), ws_v, jnp.float32)
+        if act in ("NONE", "RELU"):
+            cs_v, inv_out = ws_v / jnp.float32(out_scale), 1.0
+        else:
+            cs_v, inv_out = ws_v, float(1.0 / np.float32(out_scale))
+        cs = jnp.pad(cs_v, (0, np_ - n)).reshape(1, np_)
+        b0 = bias if bias is not None else jnp.zeros((n,), jnp.int32)
+        b = jnp.pad(b0, (0, np_ - n)).reshape(1, np_)
+    if act in ("NONE", "RELU"):
+        res_scale_eff = float(np.float32(res_scale) / np.float32(out_scale))
+    else:
+        res_scale_eff = float(np.float32(res_scale))
+
+    has_res = residual is not None
+    inputs = list(xs_p) + list(ws_p) + [b, cs]
+    in_specs = (
+        [pl.BlockSpec((block_m, xp.shape[1]), lambda i, j: (i, 0))
+         for xp in xs_p]
+        + [pl.BlockSpec((wp.shape[0], block_n), lambda i, j: (0, j))
+           for wp in ws_p]
+        + [pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+           pl.BlockSpec((1, block_n), lambda i, j: (0, j))]
+    )
+    if has_res:
+        r = residual
+        if r.shape[1] < np_:
+            r = jnp.pad(r, ((0, 0), (0, np_ - r.shape[1])))
+        elif r.shape[1] > np_:
+            r = r[:, :np_]
+        if r.shape[0] != mp:
+            r = jnp.pad(r, ((0, mp - r.shape[0]), (0, 0)))
+        inputs.append(r)
+        in_specs.append(pl.BlockSpec((block_m, block_n),
+                                     lambda i, j: (i, j)))
+
+    kernel = functools.partial(
+        _mm_multi_kernel, n_parts=n_parts, same_scale=same_scale,
+        part_scales=[float(s) for s in in_scales], act=act,
+        inv_out=inv_out, alpha=alpha, has_res=has_res,
+        res_scale=res_scale_eff)
+    out = pl.pallas_call(
+        kernel,
+        grid=(_cdiv(mp, block_m), _cdiv(np_, block_n)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(*inputs)
+    if keep_phys:
+        return out[:m] if mp != m else out
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
 # Fused halo conv — any square stride, zero data shuffles
 # ---------------------------------------------------------------------------
 #
@@ -183,12 +340,16 @@ def matmul_int8_fused(
 #   statically. No strided access anywhere.
 
 
-def _halo_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, *,
-                 kh: int, qw: int, s: int, tile_h: int, ow: int,
-                 act: str, inv_out: float, alpha: float):
+def _halo_kernel(*refs, kh: int, qw: int, s: int, tile_h: int, ow: int,
+                 act: str, inv_out: float, alpha: float,
+                 has_res: bool = False, res_scale: float = 1.0):
+    # refs: x, w, bias, cs, [res], out
     # x_ref: [1, halo_pairs, s, Wq, Cq] — rows pre-split into (row/s, s)
     # phases by a FREE reshape outside the kernel (untiled dims).
     # w_ref: [kh*qw, Cq, block_n]; bias/cs: [1, block_n]
+    x_ref, w_ref, bias_ref, cs_ref = refs[:4]
+    res_ref = refs[4] if has_res else None
+    out_ref = refs[4 + int(has_res)]
     cq = x_ref.shape[4]
     slab = x_ref[0]                                    # [pairs, s, Wq, Cq]
     acc = None
@@ -201,8 +362,10 @@ def _halo_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, *,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             acc = p if acc is None else acc + p
+    res = res_ref[0].reshape(tile_h * ow, -1) if has_res else None
     q = _epilogue(acc, bias_ref[:], cs_ref[:],
-                  act=act, inv_out=inv_out, alpha=alpha)
+                  act=act, inv_out=inv_out, alpha=alpha,
+                  res=res, res_scale=res_scale)
     out_ref[:] = q.reshape(1, tile_h, ow, -1)
 
 
@@ -313,6 +476,110 @@ def conv2d_int8_halo_fused(
             dimension_semantics=("parallel", "parallel", "parallel")),
     )(xr, wk, b, cs)
     return out[:, :oh, :, :o]
+
+
+# ---------------------------------------------------------------------------
+# Fused SPPF: three chained KxK/1 maxpools + channel concat + 1x1 conv
+# in ONE kernel — the pool pyramid lives entirely in VMEM (the XLA
+# lowering costs ~45 us/frame in reduce_window + halo pads + concat
+# copies at 20x20x512; the fused kernel reads x once and writes the
+# conv output once).
+# ---------------------------------------------------------------------------
+
+
+def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
+                 hw: Tuple[int, int], k: int, act: str, inv_out: float,
+                 alpha: float):
+    # x_ref: [1, H, W, Cp]; w_ref: [4, Cp, block_n]; buf: VMEM scratch
+    # [H+2p, W+2p, Cp] used as the padded workspace for each pool level.
+    h, w = hw
+    p = (k - 1) // 2
+    cq = x_ref.shape[3]
+
+    def pool(z):
+        # separable k x k max, stride 1, SAME: pad with -128
+        buf[:] = jnp.full(buf.shape, -128, jnp.int8)
+        buf[p:p + h, p:p + w, :] = z
+        zp = buf[:]
+        m = None
+        for dx in range(k):
+            sl = zp[0:h + 2 * p, dx:dx + w, :]
+            m = sl if m is None else jnp.maximum(m, sl)
+        out = None
+        for dy in range(k):
+            sl = m[dy:dy + h]
+            out = sl if out is None else jnp.maximum(out, sl)
+        return out
+
+    y0 = x_ref[0]
+    m1 = pool(y0)
+    m2 = pool(m1)
+    m3 = pool(m2)
+    acc = None
+    for i, z in enumerate((y0, m1, m2, m3)):
+        d = jax.lax.dot_general(
+            z.reshape(h * w, cq), w_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    q = _epilogue(acc, bias_ref[:], cs_ref[:], act=act,
+                  inv_out=inv_out, alpha=alpha)
+    out_ref[:] = q.reshape(1, h, w, -1)
+
+
+def sppf_int8_fused(
+    x: jax.Array,                # [N, H, W, C] int8 (pool-pyramid input)
+    w_hwio: jax.Array,           # [1, 1, 4*C, O] the cv2 weight
+    bias: Optional[jax.Array],
+    pool_k: int,
+    in_scale: float, w_scale, out_scale: float,
+    act: str = "NONE",
+    alpha: float = 0.01,
+    block_n: int = 512,
+    keep_phys: bool = False,
+) -> jax.Array:
+    """SPPF tail: ``cv2(concat(x, m1, m2, m3))`` with
+    ``m_{i+1} = maxpool_kxk/1(m_i)`` — pools in VMEM (separable,
+    pad = -128 matching the int8 SAME-pool identity), four part-dots,
+    requant epilogue. Whole image per grid cell (SPPF runs at the
+    smallest feature map, e.g. 20x20x512 for yolov5s@640)."""
+    n, h, w, c = x.shape
+    _, _, c4, o = w_hwio.shape
+    assert c4 == 4 * c, (c4, c)
+    p = (pool_k - 1) // 2
+    cp = _round_up(c, 128)
+    op = _round_up(o, 128)
+    block_n = min(block_n, op)
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c)),
+                    constant_values=-128)   # pad lanes can't win a max
+    wm = jnp.asarray(w_hwio).reshape(4, c, o)
+    wk = jnp.pad(wm, ((0, 0), (0, cp - c), (0, op - o)))
+    b, cs, inv_out = _scale_rows(bias, w_scale, in_scale, out_scale,
+                                 act, o, op)
+
+    grid = (n, _cdiv(op, block_n))
+    kernel = functools.partial(
+        _sppf_kernel, hw=(h, w), k=pool_k, act=act, inv_out=inv_out,
+        alpha=alpha)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, w, cp), lambda ni, oi: (ni, 0, 0, 0)),
+            pl.BlockSpec((4, cp, block_n), lambda ni, oi: (0, 0, oi)),
+            pl.BlockSpec((1, block_n), lambda ni, oi: (0, oi)),
+            pl.BlockSpec((1, block_n), lambda ni, oi: (0, oi)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, block_n),
+                               lambda ni, oi: (ni, 0, 0, oi)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, op), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((h + 2 * p, w + 2 * p, cp), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x, wk, b, cs)
+    if keep_phys:
+        return out
+    return out[..., :o]
 
 
 # ---------------------------------------------------------------------------
@@ -513,11 +780,14 @@ def conv2d_int8_folded(
     block_n: int = 512,
     keep_phys: bool = False,     # emit lane-padded channels (no slice)
     pipeline: str = "blockspec",  # "blockspec" | "dma" (manual 2-slot)
+    residual: Optional[jax.Array] = None,  # folded [N, OH, OWg, >=f*O]
+    res_scale: float = 1.0,
 ) -> jax.Array:
     """Folded-layout conv: consumes [N, H, Wg, g*C], emits
     [N, OH, OWg, f_out*O] (or lane-padded with ``keep_phys``). One
     jnp.pad (H halo + one W fold-group of left padding); everything else
-    is static VMEM slicing."""
+    is static VMEM slicing. ``residual``: fused post-activation add
+    (``r * res_scale`` in the epilogue — the C3 shortcut)."""
     s = stride
     g = s * f_out
     n, h, wg, gc = x_folded.shape
@@ -535,10 +805,18 @@ def conv2d_int8_folded(
         if ws.ndim == 0:
             ws = jnp.full((o,), ws, jnp.float32)
         b0 = bias if bias is not None else jnp.zeros((o,), jnp.int32)
-        out = matmul_int8_fused(
-            x_folded.reshape(n * h * wg, gc), jnp.asarray(wm),
-            jnp.tile(b0, f_out), in_scale, jnp.tile(ws, f_out), out_scale,
-            act=act, alpha=alpha, keep_phys=keep_phys)
+        if residual is not None:
+            out = matmul_int8_fused_multi(
+                [x_folded.reshape(n * h * wg, gc)], [jnp.asarray(wm)],
+                jnp.tile(b0, f_out), [in_scale], jnp.tile(ws, f_out),
+                out_scale, act=act, alpha=alpha,
+                residual=residual.reshape(n * h * wg, -1),
+                res_scale=res_scale, keep_phys=keep_phys)
+        else:
+            out = matmul_int8_fused(
+                x_folded.reshape(n * h * wg, gc), jnp.asarray(wm),
+                jnp.tile(b0, f_out), in_scale, jnp.tile(ws, f_out),
+                out_scale, act=act, alpha=alpha, keep_phys=keep_phys)
         return out.reshape(n, h, wg, -1)
 
     wk, q_shift, qw = repack_weights_folded(
@@ -591,6 +869,9 @@ def conv2d_int8_folded(
     wq_tot = x_folded.shape[2]
     x5 = x_folded[:, :need_rows].reshape(n, need_rows // s, s, wq_tot, cp)
 
+    if residual is not None and pipeline == "dma":
+        raise ValueError("residual fusion not supported on the dma "
+                         "pipeline variant")
     if pipeline == "dma":
         # one cell per (image, channel-block); in-kernel row loop with
         # two-slot slab DMA overlapping the next tile's fetch
@@ -623,22 +904,41 @@ def conv2d_int8_folded(
         return out
 
     grid = (n, n_tiles_h, _cdiv(op, block_n))
+    if act in ("NONE", "RELU"):
+        res_scale_eff = float(np.float32(res_scale) / np.float32(out_scale))
+    else:
+        res_scale_eff = float(np.float32(res_scale))
     kernel = functools.partial(
         _halo_kernel, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow_g,
-        act=act, inv_out=inv_out, alpha=alpha)
+        act=act, inv_out=inv_out, alpha=alpha,
+        has_res=residual is not None, res_scale=res_scale_eff)
+    in_specs = [
+        pl.BlockSpec(
+            (_PL_ELEMENT(1), _PL_ELEMENT(halo_pairs), _PL_ELEMENT(s),
+             _PL_ELEMENT(wq_tot), _PL_ELEMENT(cp)),
+            lambda ni, ti, oi: (ni, ti * tile_h, 0, 0, 0)),
+        pl.BlockSpec((kh * qw, cp, block_n),
+                     lambda ni, ti, oi: (0, 0, oi)),
+        pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
+        pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
+    ]
+    inputs = [x5, wk, b, cs]
+    if residual is not None:
+        r = residual
+        if r.shape[3] < op:
+            r = jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, op - r.shape[3])))
+        elif r.shape[3] > op:
+            r = r[..., :op]
+        if r.shape[1] != n_tiles_h * tile_h:
+            r = jnp.pad(r, ((0, 0), (0, n_tiles_h * tile_h - r.shape[1]),
+                            (0, 0), (0, 0)))
+        inputs.append(r)
+        in_specs.append(pl.BlockSpec(
+            (1, tile_h, ow_g, block_n), lambda ni, ti, oi: (ni, ti, 0, oi)))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (_PL_ELEMENT(1), _PL_ELEMENT(halo_pairs), _PL_ELEMENT(s),
-                 _PL_ELEMENT(wq_tot), _PL_ELEMENT(cp)),
-                lambda ni, ti, oi: (ni, ti * tile_h, 0, 0, 0)),
-            pl.BlockSpec((kh * qw, cp, block_n),
-                         lambda ni, ti, oi: (0, 0, oi)),
-            pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
-            pl.BlockSpec((1, block_n), lambda ni, ti, oi: (0, oi)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, tile_h, ow_g, block_n),
             lambda ni, ti, oi: (ni, ti, 0, oi)),
@@ -646,7 +946,7 @@ def conv2d_int8_folded(
             (n, n_tiles_h * tile_h, ow_g, op), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
-    )(x5, wk, b, cs)
+    )(*inputs)
     out = out[:, :oh]
     if op != no and not keep_phys:
         out = out[..., :no]
@@ -783,7 +1083,7 @@ def depthwise_conv2d_int8_fused(
 
 
 def conv2d_int8_stem_fused(
-    x: jax.Array,                # [N, H, W, C] int8, C < 16
+    x: jax.Array,                # [N, H, W, C] int8 OR qbf16 (see below)
     w_hwio: jax.Array,
     bias: Optional[jax.Array],
     out_hw: Tuple[int, int],
@@ -793,26 +1093,40 @@ def conv2d_int8_stem_fused(
     act: str = "NONE",
     alpha: float = 0.01,
     f_out: int = 1,              # emit W-folded [N, OH, OW/f, f*O]
+    emit: str = "int8",          # "int8" (folded) | "qbf16"
 ) -> jax.Array:
-    """Stem convs (RGB input) through XLA's native conv emitter.
+    """Thin-channel convs (the stem stage) through XLA's native conv
+    emitter, bit-exact.
 
-    int8 values are exactly representable in bf16 (|v| <= 127 < 2^8) and
-    per-element products accumulate exactly in f32 (sums < 2^24 for a
-    6x6x3 stem), so ``conv(bf16, bf16) -> f32`` reproduces the int32
-    accumulator bit for bit — while XLA picks a thin-channel layout that
-    avoids the (8,128) int8 tiling blowup (42x HBM padding for C=3) that
-    makes materialized thin int8 tensors unusable."""
+    int8 values are exactly representable in bf16 (|v| <= 127 < 2^8),
+    MXU bf16 products are exact in the f32 accumulator, and partial
+    sums stay < 2^24 whenever K*K*C <= 1040 — so
+    ``conv(bf16, bf16) -> f32`` reproduces the int32 accumulator bit
+    for bit, while XLA picks thin-channel layouts that avoid the
+    (8,128) int8 tiling blowup (42x HBM padding for C=3).
+
+    ``emit="qbf16"``: return the requantized INTEGER values stored as
+    bf16 instead of int8 — the next stem-stage conv consumes them
+    directly (``x.astype(bf16)`` is then a no-op), so consecutive thin
+    convs chain inside XLA's layout world with no int8 materialization,
+    no fold reshape, and no relayout copy between them. int8/folding
+    happens once, at the stage exit, on the smallest tensor.
+    """
+    kh, kw, cin, o = w_hwio.shape
+    assert kh * kw * cin <= 1040, (
+        "bf16-exact stem path needs K*K*C <= 1040 for exact f32 "
+        f"accumulation; got {kh}x{kw}x{cin}")
     accf = jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), w_hwio.astype(jnp.bfloat16),
         stride, pads, dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
-    o = w_hwio.shape[3]
     if bias is not None:
         accf = accf + bias.astype(jnp.float32)
     ws = jnp.asarray(w_scale, jnp.float32)
     if ws.ndim == 0:
         ws = jnp.full((o,), ws, jnp.float32)
-    if f_out > 1:   # fold on the f32 accumulator, before the int8 write
+    if emit != "qbf16" and f_out > 1:
+        # fold on the f32 accumulator, before the int8 write
         n_, oh_, ow_, _ = accf.shape
         accf = accf.reshape(n_, oh_, ow_ // f_out, f_out * o)
         ws = jnp.tile(ws, f_out)
@@ -830,7 +1144,10 @@ def conv2d_int8_stem_fused(
         scaled = pre * jnp.float32(float(1.0 / np.float32(out_scale)))
     shifted = scaled + jnp.where(
         scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
-    return jnp.clip(jnp.trunc(shifted), -128, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.trunc(shifted), -128, 127)
+    if emit == "qbf16":
+        return q.astype(jnp.bfloat16)
+    return q.astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------

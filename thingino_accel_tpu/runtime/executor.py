@@ -153,6 +153,12 @@ class _FoldPlan:
         self.fold: Dict[str, int] = {}      # planned fold per tensor
         self.parts: Dict[str, tuple] = {}   # channel-concat structure
         self.runtime_fold: Dict[str, int] = {}  # env arrays currently folded
+        # stem stage: thin-channel convs kept in XLA's bf16 world with
+        # integer values carried as bf16 ("qbf16") between them — no
+        # int8 materialization/relayout until the stage exit conv
+        self.stem_stage: set = set()        # conv OUTPUT names in stage
+        self.stem_emit: Dict[str, str] = {}  # out name -> "qbf16"|"int8"
+        self.qbf16_env: set = set()         # env names currently qbf16
 
     def f(self, name: str) -> int:
         return self.fold.get(name, 1)
@@ -180,6 +186,65 @@ def _conv_fold_eligible(node: Node, tensors) -> bool:
 
 def _plan_folds(nodes, tensors) -> _FoldPlan:
     plan = _FoldPlan()
+
+    # stem-stage membership: a fold-eligible conv is kept on the XLA
+    # bf16-exact path when its input channels are thin — either the
+    # graph-input stem (cin < 16) or a conv consuming a stage conv's
+    # qbf16 output with cin < 48 (K*K*C <= 1040 keeps f32 accumulation
+    # exact). It emits qbf16 iff every consumer of its output is also a
+    # stage conv; the last stage conv emits folded int8.
+    consumers: Dict[str, list] = {}
+    for node in nodes:
+        for i in node.inputs:
+            consumers.setdefault(i, []).append(node)
+
+    def stage_eligible(node, cin_limit):
+        if not _conv_fold_eligible(node, tensors):
+            return False
+        a = node.attrs
+        k = a.get("kernel", (1, 1))
+        cin = tensors[node.inputs[0]].shape[3]
+        act = a.get("activation", "NONE")
+        return (cin < cin_limit and k[0] * k[1] * cin <= 1040
+                and act in ("NONE", "RELU", "LEAKY_RELU", "SILU"))
+
+    stage = {n.outputs[0] for n in nodes if stage_eligible(n, 16)}
+    grown = True
+    while grown:   # grow chains: thin conv consuming a stage conv
+        grown = False
+        for node in nodes:
+            out = node.outputs[0]
+            if (out not in stage and stage_eligible(node, 48)
+                    and tensors[node.inputs[0]].shape[3] >= 16
+                    and node.inputs[0] in stage):
+                stage.add(out)
+                grown = True
+
+    def emits(st):
+        em = {}
+        for node in nodes:
+            out = node.outputs[0]
+            if out not in st:
+                continue
+            cons = consumers.get(out, [])
+            qb = bool(cons) and all(
+                c.op == "CONV2D" and c.outputs[0] in st
+                and c.inputs[0] == out for c in cons)
+            em[out] = "qbf16" if qb else "int8"
+        return em
+
+    while True:   # prune: a grown conv needs a qbf16-emitting source
+        em = emits(stage)
+        drop = {n.outputs[0] for n in nodes
+                if n.outputs[0] in stage
+                and tensors[n.inputs[0]].shape[3] >= 16
+                and em.get(n.inputs[0]) == "int8"}
+        if not drop:
+            break
+        stage -= drop
+    plan.stem_stage = stage
+    plan.stem_emit = emits(stage)
+
     for node in nodes:
         out = node.outputs[0]
         if _conv_fold_eligible(node, tensors):
@@ -188,7 +253,13 @@ def _plan_folds(nodes, tensors) -> _FoldPlan:
             cin = tensors[node.inputs[0]].shape[3]
             o = tensors[out].shape[3]
             ow = tensors[out].shape[2]
-            if cin < 16:   # stem: seed the fold chain from the output
+            if out in plan.stem_stage:
+                if plan.stem_emit[out] == "qbf16":
+                    continue   # no fold; stays bf16 inside the stage
+                # stage exit: seed the fold chain from the output
+                f = next((c for c in (4, 2)
+                          if c * o <= 128 and ow % c == 0), 1)
+            elif cin < 16:   # stem: seed the fold chain from the output
                 f = next((c for c in (4, 2)
                           if c * o <= 128 and ow % c == 0), 1)
             else:
@@ -230,7 +301,14 @@ def _plan_folds(nodes, tensors) -> _FoldPlan:
 def _ensure_logical(name, env, tensors, plan) -> None:
     """Replace a folded/lane-padded env value with its logical NHWC
     view (unfold_layout strips trailing phys padding by shape)."""
-    if plan is None or name not in plan.runtime_fold:
+    if plan is None:
+        return
+    if name in plan.qbf16_env:
+        # integer values stored as bf16 -> materialize the int8 tensor
+        plan.qbf16_env.discard(name)
+        env[name] = env[name].astype(jnp.int8)
+        return
+    if name not in plan.runtime_fold:
         return
     from thingino_accel_tpu.ops import fused_kernels as FK
     f = plan.runtime_fold.pop(name)
@@ -312,14 +390,24 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
         pads = R._conv_pads(
             (in_t.shape[1], in_t.shape[2]), out_hw, a["kernel"],
             a["stride"], a["dilation"], a["padding"], a["explicit_pad"])
-        if cin < 16:
-            _ensure_logical(node.inputs[0], env, tensors, plan)
-            x = env[node.inputs[0]]
+        if out_name in plan.stem_stage or cin < 16:
+            emit = plan.stem_emit.get(out_name, "int8")
+            if node.inputs[0] in plan.qbf16_env:
+                x = env[node.inputs[0]]     # integer values as bf16
+            else:
+                _ensure_logical(node.inputs[0], env, tensors, plan)
+                x = env[node.inputs[0]]
             out = FK.conv2d_int8_stem_fused(
                 x, w, bias, out_hw, a["stride"], pads,
                 scale(node.inputs[0]), ws, scale(out_name),
                 act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
-                f_out=f_out)
+                f_out=f_out, emit=emit)
+            if emit == "qbf16":
+                # stage membership guarantees act in FK.ACTS (fused)
+                assert f_act == act, (act, out_name)
+                env[out_name] = out
+                plan.qbf16_env.add(out_name)
+                return True
         else:
             g = s * f_out
             fin = rtf(node.inputs[0])
