@@ -243,3 +243,128 @@ def test_depthwise_fused_silu_per_channel(rng):
                 np.asarray(wt, np.int32)[dy, dx]
     ref = _oracle(acc, None, 0.05, ws, 0.1, "SILU")
     assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+
+def test_matmul_multi_vs_concat(rng):
+    """Multi-part matmul == single matmul over the concatenated input."""
+    m, k1, k2, n = 64, 96, 160, 64
+    x1 = rng.integers(-100, 100, (m, k1), dtype=np.int8)
+    x2 = rng.integers(-100, 100, (m, k2), dtype=np.int8)
+    w = rng.integers(-64, 64, (k1 + k2, n), dtype=np.int8)
+    b = rng.integers(-500, 500, (n,), dtype=np.int32)
+    for act in ("NONE", "SILU"):
+        ref = np.asarray(FK.matmul_int8_fused(
+            jnp.asarray(np.concatenate([x1, x2], 1)), jnp.asarray(w),
+            jnp.asarray(b), 0.03, 0.02, 0.07, act=act))
+        got = np.asarray(FK.matmul_int8_fused_multi(
+            [jnp.asarray(x1), jnp.asarray(x2)],
+            [jnp.asarray(w[:k1]), jnp.asarray(w[k1:])],
+            jnp.asarray(b), [0.03, 0.03], 0.02, 0.07, act=act))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_matmul_multi_mixed_scales(rng):
+    """Per-part input scales: f32 partial combine vs numpy oracle."""
+    m, k1, k2, n = 32, 64, 64, 32
+    x1 = rng.integers(-100, 100, (m, k1), dtype=np.int8)
+    x2 = rng.integers(-100, 100, (m, k2), dtype=np.int8)
+    w = rng.integers(-64, 64, (k1 + k2, n), dtype=np.int8)
+    s1, s2, ws, so = 0.03, 0.05, 0.02, 0.07
+    got = np.asarray(FK.matmul_int8_fused_multi(
+        [jnp.asarray(x1), jnp.asarray(x2)],
+        [jnp.asarray(w[:k1]), jnp.asarray(w[k1:])],
+        None, [s1, s2], ws, so, act="RELU"))
+    a1 = x1.astype(np.int32) @ w[:k1].astype(np.int32)
+    a2 = x2.astype(np.int32) @ w[k1:].astype(np.int32)
+    pre = (a1.astype(np.float32) * np.float32(s1)
+           + a2.astype(np.float32) * np.float32(s2)) \
+        * (np.float32(ws) / np.float32(so))
+    pre = np.maximum(pre, 0.0)
+    sh = pre + np.where(pre >= 0, np.float32(0.5), np.float32(-0.5))
+    ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_matmul_multi_residual(rng):
+    """Fused residual: requant(act(x@w*s) + r*sr) vs oracle."""
+    m, k, n = 64, 128, 64
+    x = rng.integers(-100, 100, (m, k), dtype=np.int8)
+    w = rng.integers(-64, 64, (k, n), dtype=np.int8)
+    r = rng.integers(-128, 128, (m, n), dtype=np.int8)
+    in_s, w_s, out_s, r_s = 0.03, 0.02, 0.07, 0.04
+    for act in ("NONE", "SILU"):
+        got = np.asarray(FK.matmul_int8_fused_multi(
+            [jnp.asarray(x)], [jnp.asarray(w)], None, [in_s], w_s,
+            out_s, act=act, residual=jnp.asarray(r), res_scale=r_s))
+        acc = x.astype(np.int32) @ w.astype(np.int32)
+        pre = acc.astype(np.float32) * np.float32(np.float32(in_s)
+                                                  * np.float32(w_s))
+        if act == "SILU":
+            pre = pre * (1.0 / (1.0 + np.exp(-pre.astype(np.float64)))
+                         ).astype(np.float32)
+        val = pre + r.astype(np.float32) * np.float32(r_s)
+        scaled = val * np.float32(1.0 / np.float32(out_s))
+        sh = scaled + np.where(scaled >= 0, np.float32(0.5),
+                               np.float32(-0.5))
+        ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, (act, diff.max())
+
+
+def test_conv_folded_residual(rng):
+    """Halo conv with fused residual add vs conv-then-add oracle."""
+    h = w = 16
+    c = o = 32
+    f = 2
+    x = rng.integers(-100, 100, (1, h, w, c), dtype=np.int8)
+    r = rng.integers(-128, 128, (1, h, w, o), dtype=np.int8)
+    wt = rng.integers(-64, 64, (3, 3, c, o), dtype=np.int8)
+    in_s, w_s, out_s, r_s = 0.05, 0.02, 0.1, 0.06
+    got_f = FK.conv2d_int8_folded(
+        jnp.asarray(_fold_np(x, f)), jnp.asarray(wt), None, (h, w), 1,
+        ((1, 1), (1, 1)), in_s, w_s, out_s, act="RELU", f_out=f,
+        residual=jnp.asarray(_fold_np(r, f)), res_scale=r_s)
+    got = np.asarray(FK.unfold_layout(got_f, f, o))[:, :, :w, :]
+    acc = _conv_acc(x, wt, (1, 1), ((1, 1), (1, 1)))
+    pre = acc.astype(np.float32) * (np.float32(in_s) * np.float32(w_s))
+    pre = np.maximum(pre, 0.0)
+    val = pre + r.astype(np.float32) * np.float32(r_s)
+    scaled = val * np.float32(1.0 / np.float32(out_s))
+    sh = scaled + np.where(scaled >= 0, np.float32(0.5), np.float32(-0.5))
+    ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
+    # residual epilogue adds one more f32 op -> FMA-order rounding can
+    # flip a half-way case by one quantum
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_sppf_fused_vs_oracle(rng):
+    """SPPF kernel == maxpool chain + concat + 1x1 conv oracle."""
+    h = w = 8
+    c, o, k = 32, 64, 5
+    p = (k - 1) // 2
+    x = rng.integers(-128, 128, (2, h, w, c), dtype=np.int8)
+    wt = rng.integers(-64, 64, (1, 1, 4 * c, o), dtype=np.int8)
+    b = rng.integers(-500, 500, (o,), dtype=np.int32)
+
+    def np_pool(z):
+        zp = np.full((z.shape[0], h + 2 * p, w + 2 * p, c), -128, np.int8)
+        zp[:, p:p + h, p:p + w] = z
+        out = np.full_like(z, -128)
+        for dy in range(k):
+            for dx in range(k):
+                out = np.maximum(out, zp[:, dy:dy + h, dx:dx + w])
+        return out
+
+    m1 = np_pool(x)
+    m2 = np_pool(m1)
+    m3 = np_pool(m2)
+    cat = np.concatenate([x, m1, m2, m3], -1)
+    acc = _conv_acc(cat, wt, (1, 1), ((0, 0), (0, 0)))
+    for act in ("RELU", "SILU"):
+        ref = _oracle(acc, b, 0.05, 0.02, 0.1, act)
+        got = np.asarray(FK.sppf_int8_fused(
+            jnp.asarray(x), jnp.asarray(wt), jnp.asarray(b), k,
+            0.05, 0.02, 0.1, act=act))
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= (0 if act == "RELU" else 1), (act, diff.max())

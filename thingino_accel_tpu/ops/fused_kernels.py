@@ -496,10 +496,12 @@ def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
     p = (k - 1) // 2
     cq = x_ref.shape[3]
 
-    def pool(z):
-        # separable k x k max, stride 1, SAME: pad with -128
-        buf[:] = jnp.full(buf.shape, -128, jnp.int8)
-        buf[p:p + h, p:p + w, :] = z
+    def pool(z_i32):
+        # separable k x k max, stride 1, SAME: pad with -128.
+        # Pools run in int32: Mosaic has no vector maxsi for int8
+        # (fails to legalize on hardware; interpret mode accepts it).
+        buf[:] = jnp.full(buf.shape, -128, jnp.int32)
+        buf[p:p + h, p:p + w, :] = z_i32
         zp = buf[:]
         m = None
         for dx in range(k):
@@ -512,11 +514,12 @@ def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
         return out
 
     y0 = x_ref[0]
-    m1 = pool(y0)
+    m1 = pool(y0.astype(jnp.int32))
     m2 = pool(m1)
     m3 = pool(m2)
     acc = None
-    for i, z in enumerate((y0, m1, m2, m3)):
+    for i, z in enumerate((y0, m1.astype(jnp.int8),
+                           m2.astype(jnp.int8), m3.astype(jnp.int8))):
         d = jax.lax.dot_general(
             z.reshape(h * w, cq), w_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -573,7 +576,7 @@ def sppf_int8_fused(
         out_specs=pl.BlockSpec((1, h, w, block_n),
                                lambda ni, oi: (ni, 0, 0, oi)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, op), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((h + 2 * p, w + 2 * p, cp), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((h + 2 * p, w + 2 * p, cp), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )(x, wk, b, cs)

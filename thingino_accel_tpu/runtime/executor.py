@@ -117,6 +117,11 @@ def build_executor(
 
         for node in nodes:
             if plan is not None:
+                out0 = node.outputs[0] if node.outputs else None
+                if out0 in plan.skip_outputs and (
+                        out0 in env or out0 in plan.virtual_concat
+                        or out0 in plan.pool_of):
+                    continue   # folded into a consumer's kernel
                 if _lower_node_folded(node, env, tensors, opts, plan):
                     continue
                 _unfold_inputs(node, env, tensors, plan)
@@ -159,6 +164,17 @@ class _FoldPlan:
         self.stem_stage: set = set()        # conv OUTPUT names in stage
         self.stem_emit: Dict[str, str] = {}  # out name -> "qbf16"|"int8"
         self.qbf16_env: set = set()         # env names currently qbf16
+        # epilogue fusions (pattern-matched at plan time):
+        self.consumers: Dict[str, list] = {}
+        self.res_fuse: Dict[str, tuple] = {}   # conv out -> (add_node,
+        #   other_input) — the ADD runs in the conv epilogue
+        self.virtual_concat: Dict[str, list] = {}  # concat out ->
+        #   input names (never materialized; consumers are 1x1 convs)
+        self.sppf: Dict[str, tuple] = {}    # concat out -> (src, k)
+        self.pool_of: Dict[str, tuple] = {}  # skipped maxpool out ->
+        #   (src name, k, n_applications) for on-demand recompute
+        self.skip_outputs: set = set()      # nodes folded into a
+        #   consumer's kernel (fused ADDs, SPPF maxpools)
 
     def f(self, name: str) -> int:
         return self.fold.get(name, 1)
@@ -295,13 +311,147 @@ def _plan_folds(nodes, tensors) -> _FoldPlan:
                 for i in node.inputs:
                     ps.extend(plan.parts.get(i, (tensors[i].shape[3],)))
                 plan.parts[out] = tuple(ps)
+
+    plan.consumers = consumers
+    _plan_epilogue_fusions(nodes, tensors, plan, consumers)
     return plan
+
+
+def _plan_epilogue_fusions(nodes, tensors, plan, consumers) -> None:
+    """Pattern-match fusions that run inside a conv kernel's epilogue:
+
+    - residual add: ``ADD(conv_out, r)`` where the conv's output has no
+      other consumer -> the add joins the conv's requant epilogue
+      (one fewer int8 round-trip AND one fewer intermediate
+      quantization — serving-tier semantics);
+    - virtual concat: a CONCAT consumed only by 1x1/s1 fused convs is
+      never materialized (each conv sums per-part dots);
+    - SPPF: CONCAT(y, m1, m2, m3) with m_{i+1} = KxK/1 maxpool(m_i)
+      consumed by 1x1 convs -> pools run in the conv kernel's VMEM.
+    """
+    by_out = {n.outputs[0]: n for n in nodes if n.outputs}
+
+    def conv_1x1_fused_ok(c_node, src):
+        a = c_node.attrs
+        return (c_node.op == "CONV2D" and c_node.inputs
+                and c_node.inputs[0] == src
+                and _conv_fold_eligible(c_node, tensors)
+                and c_node.outputs[0] not in plan.stem_stage
+                and a.get("kernel", (1, 1)) == (1, 1)
+                and a.get("stride", (1, 1)) == (1, 1)
+                and a.get("activation", "NONE") in (
+                    "NONE", "RELU", "LEAKY_RELU", "SILU"))
+
+    # residual adds
+    for node in nodes:
+        out = node.outputs[0]
+        if not _conv_fold_eligible(node, tensors) \
+                or out in plan.stem_stage:
+            continue
+        if node.attrs.get("activation", "NONE") not in (
+                "NONE", "RELU", "LEAKY_RELU", "SILU"):
+            continue
+        cons = consumers.get(out, [])
+        if len(cons) != 1 or cons[0].op != "ADD" \
+                or len(cons[0].inputs) != 2:
+            continue
+        add = cons[0]
+        other = add.inputs[0] if add.inputs[1] == out else add.inputs[1]
+        if other == out:
+            continue   # ADD(x, x) self-add
+        o_ch = tensors[out].shape[3]
+        ot = tensors.get(other)
+        at = tensors.get(add.outputs[0])
+        if ot is None or at is None or not (_is_int8(ot) and _is_int8(at)):
+            continue
+        if tuple(ot.shape) != tuple(tensors[out].shape):
+            continue
+        # residual must arrive in the same folded layout the conv emits
+        if plan.f(other) != plan.f(out):
+            continue
+        p_other = plan.parts.get(other, (ot.shape[3],))
+        if tuple(ci for ci in p_other if ci > 0) != (o_ch,):
+            continue
+        plan.res_fuse[out] = (add, other)
+        plan.skip_outputs.add(add.outputs[0])
+
+    # virtual concats (+ SPPF upgrade)
+    for node in nodes:
+        if node.op != "CONCAT" or not node.outputs:
+            continue
+        out = node.outputs[0]
+        cons = consumers.get(out, [])
+        if not cons or not all(conv_1x1_fused_ok(c, out) for c in cons):
+            continue
+        shp = [tensors[i].shape for i in node.inputs]
+        if not all(len(sh) == 4 and sh[:3] == shp[0][:3] for sh in shp):
+            continue
+        fs = {plan.f(i) for i in node.inputs}
+        if len(fs) != 1:
+            continue
+        plan.virtual_concat[out] = list(node.inputs)
+        plan.skip_outputs.add(out)
+
+        # SPPF: inputs (y, m1, m2, m3), maxpool chain, fold 1
+        ins = node.inputs
+        if len(ins) == 4 and plan.f(ins[0]) == 1:
+            ms = [by_out.get(i) for i in ins[1:]]
+            k0 = ms[0].attrs.get("kernel") if ms[0] is not None else None
+            chain_src = [ins[0], ins[1], ins[2]]
+
+            def is_pool(mn, src):
+                if mn is None or mn.op != "MAXPOOL" or \
+                        mn.inputs[0] != src:
+                    return False
+                a = mn.attrs
+                t_in = tensors[mn.inputs[0]]
+                t_out = tensors[mn.outputs[0]]
+                return (a.get("kernel") == k0
+                        and a.get("kernel", (1, 1))[0] ==
+                        a.get("kernel", (1, 1))[1]
+                        and a.get("kernel", (1, 1))[0] % 2 == 1
+                        and a.get("stride") == (1, 1)
+                        and tuple(t_in.shape) == tuple(t_out.shape)
+                        and abs(t_in.quant.scale - t_out.quant.scale)
+                        < 1e-12)
+            pool_only = all(
+                is_pool(mn, src) for mn, src in zip(ms, chain_src))
+            # every pool feeds only the chain + this concat
+            clean = pool_only and all(
+                {id(c) for c in consumers.get(m.outputs[0], [])}
+                <= {id(node)} | {id(x) for x in ms if x is not None}
+                for m in ms)
+            scales_eq = pool_only and all(
+                abs(tensors[i].quant.scale - tensors[ins[0]].quant.scale)
+                < 1e-12 for i in ins)
+            if pool_only and clean and scales_eq:
+                plan.sppf[out] = (ins[0], k0[0])
+                for i, m in enumerate(ms):
+                    plan.skip_outputs.add(m.outputs[0])
+                    plan.pool_of[m.outputs[0]] = (ins[0], k0[0], i + 1)
 
 
 def _ensure_logical(name, env, tensors, plan) -> None:
     """Replace a folded/lane-padded env value with its logical NHWC
     view (unfold_layout strips trailing phys padding by shape)."""
     if plan is None:
+        return
+    if name not in env and name in plan.pool_of:
+        # skipped SPPF maxpool needed outside the fused path: recompute
+        src, k, times = plan.pool_of[name]
+        _ensure_logical(src, env, tensors, plan)
+        z = env[src]
+        p = (k - 1) // 2
+        hw = (z.shape[1], z.shape[2])
+        for _ in range(times):
+            z = R.maxpool(z, (k, k), (1, 1), hw, ((p, p), (p, p)))
+        env[name] = z
+        return
+    if name not in env and name in plan.virtual_concat:
+        ins = plan.virtual_concat[name]
+        for i in ins:
+            _ensure_logical(i, env, tensors, plan)
+        env[name] = R.concat([env[i] for i in ins], 3)
         return
     if name in plan.qbf16_env:
         # integer values stored as bf16 -> materialize the int8 tensor
@@ -318,7 +468,7 @@ def _ensure_logical(name, env, tensors, plan) -> None:
 
 def _unfold_inputs(node, env, tensors, plan) -> None:
     for i in node.inputs:
-        if i in env:
+        if i in env or i in plan.virtual_concat or i in plan.pool_of:
             _ensure_logical(i, env, tensors, plan)
 
 
@@ -377,7 +527,7 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
         f_act = act if act in FK.ACTS else "NONE"
         s = a["stride"][0]
         f_out = plan.f(out_name)
-        x = env[node.inputs[0]]
+        x = env.get(node.inputs[0])   # None for a virtual concat input
         w = env[node.inputs[1]]
         bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
         in_t = tensors[node.inputs[0]]
@@ -409,22 +559,124 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                 plan.qbf16_env.add(out_name)
                 return True
         else:
-            g = s * f_out
-            fin = rtf(node.inputs[0])
-            parts = plan.parts.get(node.inputs[0], (cin,))
-            if fin != g:
-                _ensure_logical(node.inputs[0], env, tensors, plan)
-                x = env[node.inputs[0]]
-                parts = (cin,)
-                if g > 1:
-                    if x.shape[2] % g:
-                        return False   # W not foldable -> logical path
-                    x = FK.fold_layout(x, g)
-            out = FK.conv2d_int8_folded(
-                x, w, bias, out_hw, s, pads,
-                scale(node.inputs[0]), ws, scale(out_name),
-                act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
-                f_out=f_out, parts=parts, keep_phys=True)
+            o_ch = out_t.shape[3]
+            # epilogue residual: the ADD consuming this conv's output
+            # runs inside the kernel (skipping one int8 round-trip and
+            # the conv's intermediate quantization)
+            store_name = out_name
+            residual = None
+            res_scale = 1.0
+            ri = plan.res_fuse.get(out_name)
+            if ri is not None and f_act == act:
+                add_node, other = ri
+                p_other = plan.parts.get(other, (o_ch,))
+                if (other in env and rtf(other) == f_out
+                        and other not in plan.qbf16_env
+                        and tuple(c for c in p_other if c > 0) == (o_ch,)):
+                    residual = env[other]
+                    res_scale = scale(other)
+                    store_name = add_node.outputs[0]
+            out_s = scale(store_name)
+
+            src = node.inputs[0]
+            if src in plan.sppf and a["kernel"] == (1, 1) and s == 1 \
+                    and residual is None and f_out == 1:
+                # SPPF: pools + concat + this 1x1 conv in one kernel
+                p_src, pk = plan.sppf[src]
+                _ensure_logical(p_src, env, tensors, plan)
+                out = FK.sppf_int8_fused(
+                    env[p_src], w.reshape(1, 1, -1, o_ch), bias, pk,
+                    scale(p_src), ws, out_s,
+                    act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
+                    keep_phys=True)
+            elif src in plan.virtual_concat and a["kernel"] == (1, 1) \
+                    and s == 1:
+                ins = plan.virtual_concat[src]
+                if any(rtf(i) != f_out or i in plan.qbf16_env
+                       for i in ins):
+                    # runtime layouts diverged from the plan ->
+                    # materialize and take the ordinary folded path
+                    _ensure_logical(src, env, tensors, plan)
+                    x = env[src]
+                    if f_out > 1:
+                        x = FK.fold_layout(x, f_out)
+                        plan.runtime_fold[src] = f_out
+                    out = FK.conv2d_int8_folded(
+                        x, w, bias, out_hw, s, pads,
+                        scale(src), ws, out_s,
+                        act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
+                        f_out=f_out, parts=(cin,), keep_phys=True,
+                        residual=residual, res_scale=res_scale)
+                else:
+                    xs, ws_l, in_scales = [], [], []
+                    off = 0
+                    mrows = None
+                    ws_vec = jnp.asarray(ws, jnp.float32)
+                    if ws_vec.ndim == 0:
+                        ws_vec = jnp.full((o_ch,), ws_vec, jnp.float32)
+                    for i in ins:
+                        ci = tensors[i].shape[3]
+                        arr = env[i]
+                        nb, hh, wgg = arr.shape[:3]
+                        mrows = nb * hh * wgg
+                        xs.append(arr.reshape(mrows, arr.shape[3]))
+                        # runtime-truth part structure: plan.parts is
+                        # only valid for arrays our producers emitted
+                        # (tracked in runtime_fold); anything else is a
+                        # plain logical tensor
+                        if i in plan.runtime_fold:
+                            parts_i = tuple(plan.parts.get(i, (ci,)))
+                        else:
+                            parts_i = (ci,)
+                        phys = sum(-p if p < 0 else f_out * p
+                                   for p in parts_i)
+                        if arr.shape[3] > phys:
+                            parts_i += (-(arr.shape[3] - phys),)
+                        elif arr.shape[3] < phys:
+                            raise AssertionError(
+                                f"stale fold metadata for {i}: "
+                                f"phys {phys} vs array {arr.shape[3]}")
+                        wk, _, _ = FK.repack_weights_folded(
+                            np.asarray(w[:, :, off:off + ci, :])
+                            if isinstance(w, np.ndarray)
+                            else w[:, :, off:off + ci, :],
+                            1, f_out, 0, parts_i)
+                        ws_l.append(jnp.asarray(wk).reshape(
+                            wk.shape[2], f_out * o_ch))
+                        in_scales.append(scale(i))
+                        off += ci
+                    b0 = bias if bias is not None else \
+                        jnp.zeros((o_ch,), jnp.int32)
+                    res_m = residual.reshape(mrows, -1) \
+                        if residual is not None else None
+                    out = FK.matmul_int8_fused_multi(
+                        xs, ws_l, jnp.tile(b0, f_out), in_scales,
+                        jnp.tile(ws_vec, f_out), out_s,
+                        act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
+                        residual=res_m, res_scale=res_scale,
+                        keep_phys=True)
+                    out = out.reshape(nb, hh, wgg, -1)
+            else:
+                g = s * f_out
+                fin = rtf(src)
+                parts = plan.parts.get(src, (cin,))
+                if fin != g:
+                    _ensure_logical(src, env, tensors, plan)
+                    x = env[src]
+                    parts = (cin,)
+                    if g > 1:
+                        if x.shape[2] % g:
+                            return False  # W not foldable -> logical
+                        x = FK.fold_layout(x, g)
+                out = FK.conv2d_int8_folded(
+                    x, w, bias, out_hw, s, pads,
+                    scale(src), ws, out_s,
+                    act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
+                    f_out=f_out, parts=parts, keep_phys=True,
+                    residual=residual, res_scale=res_scale)
+            if residual is not None:
+                out_name = store_name
+                out_t = tensors[store_name]
         if f_act != act:
             out = _apply_fused_act(out, act, out_t, compat=False)
         env[out_name] = out
@@ -479,6 +731,8 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
         return True
 
     if op == "CONCAT":
+        if out_name in plan.virtual_concat:
+            return True   # consumed part-wise by fused 1x1 convs
         if any(rtf(i) != f_planned for i in node.inputs):
             return False
         env[out_name] = R.concat([env[i] for i in node.inputs], 3)
