@@ -84,3 +84,25 @@ def test_basenet_facade():
     assert out is not None and out.data.shape == out.shape
     assert net.get_forward_memory_size() > 0
     assert net.get_input_by_name(t.name) is t
+
+
+def test_aip_shims():
+    """AIP pipe shims (include/aip.h:118-135 call shapes)."""
+    import jax.numpy as jnp
+    from thingino_accel_tpu import api
+
+    ctx = api.aip_init()
+    img = jnp.asarray((np.arange(2 * 8 * 8 * 3) % 256)
+                      .astype(np.uint8).reshape(2, 8, 8, 3))
+    out = api.aip_resize(ctx, img, 16, 16)
+    assert out.shape == (2, 16, 16, 3) and out.dtype == img.dtype
+    warped = api.aip_perspective(ctx, img, np.eye(3), 8, 8)
+    np.testing.assert_array_equal(np.asarray(warped), np.asarray(img))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(np.random.default_rng(1)
+                    .normal(size=(3, 3, 4, 8)).astype(np.float32))
+    y = api.aip_conv2d(ctx, x, w, stride=1, pad=1)
+    assert y.shape == (1, 8, 8, 8)
+    assert api.aip_f_wait(ctx) == 0
+    api.aip_cleanup(ctx)

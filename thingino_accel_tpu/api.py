@@ -340,3 +340,54 @@ class BaseNet:
         total = sum(int(np.prod(t.shape)) * np.dtype(t.dtype).itemsize
                     for t in eng.graph.tensors.values())
         return total
+
+
+# ---------------------------------------------------------------------------
+# AIP shims (include/aip.h:118-135 — the T41's fixed-function image
+# pipes). On TPU these are ordinary jitted ops (ops/image.py); the shims
+# preserve the reference's call shapes with tensors instead of physical
+# addresses. aip_init/aip_cleanup/aip_f_wait are no-ops: there is no
+# register programming and dispatch is synchronous-by-fence.
+# ---------------------------------------------------------------------------
+
+
+class AipContext:
+    """Stands in for ``aip_ctx_t`` — carries nothing on TPU."""
+
+
+def aip_init() -> AipContext:
+    return AipContext()
+
+
+def aip_cleanup(ctx: AipContext) -> None:
+    del ctx
+
+
+def aip_f_wait(ctx: AipContext) -> int:
+    return 0   # dispatch is fenced by jax.block_until_ready
+
+
+def aip_resize(ctx: AipContext, img, out_h: int, out_w: int):
+    """AIP-T: bilinear resize ([B,H,W,C], dtype-preserving)."""
+    from thingino_accel_tpu.ops import image as I
+    return I.resize_bilinear(img, (out_h, out_w))
+
+
+def aip_perspective(ctx: AipContext, img, matrix, out_h: int, out_w: int,
+                    fill: float = 0.0):
+    """AIP-P: homography warp (``matrix`` maps dst px -> src px)."""
+    from thingino_accel_tpu.ops import image as I
+    return I.warp_perspective(img, matrix, (out_h, out_w), fill)
+
+
+def aip_conv2d(ctx: AipContext, x, w, bias=None, stride: int = 1,
+               pad: int = 0):
+    """AIP-F: one f32 convolution (``aip_conv2d``'s tensor-level shape;
+    the reference passes physical addresses + dims)."""
+    from thingino_accel_tpu.ops import reference as R
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    n, h, wd, _ = x.shape
+    oh = (h + 2 * pad - kh) // stride + 1
+    ow = (wd + 2 * pad - kw) // stride + 1
+    return R.conv2d_f32(x, w, bias, (oh, ow), (stride, stride), (1, 1),
+                        ((pad, pad), (pad, pad)), relu=False)
