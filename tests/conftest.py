@@ -19,6 +19,10 @@ import jax
 
 if os.environ.get("TAT_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # hardware run: the persistent compile cache is load-bearing
+    from thingino_accel_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
 import numpy as np
 import pytest

@@ -6,6 +6,8 @@ Oracle: a numpy implementation of the serving epilogue —
 int32 conv accumulator computed exactly.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -16,6 +18,9 @@ from thingino_accel_tpu.ops import fused_kernels as FK
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():
+    if os.environ.get("TAT_TPU_TESTS") == "1":
+        yield   # hardware run: compiled Mosaic path
+        return
     from jax.experimental.pallas import tpu as pltpu
     ctx = pltpu.force_tpu_interpret_mode()
     ctx.__enter__()

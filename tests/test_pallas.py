@@ -1,6 +1,8 @@
 """Pallas kernel tests (interpret mode on CPU; compiled path exercised on
 TPU by bench/TAT_TPU_TESTS runs). Bit-parity vs the XLA reference ops."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -11,8 +13,10 @@ from thingino_accel_tpu.ops.quant import RoundMode
 
 
 @pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    # run pallas kernels in interpreter mode on CPU
+def _interpret_mode():
+    if os.environ.get("TAT_TPU_TESTS") == "1":
+        yield   # hardware run: compiled Mosaic path
+        return
     from jax.experimental.pallas import tpu as pltpu
     ctx = pltpu.force_tpu_interpret_mode()
     ctx.__enter__()

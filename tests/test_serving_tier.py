@@ -8,6 +8,8 @@ folded layouts + the XLA bf16-exact stem stage) must:
   (SiLU runs on the f32 pre-activation — one fewer requantization).
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -21,6 +23,9 @@ from thingino_accel_tpu.ir.passes import fuse_act_into_conv
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():
+    if os.environ.get("TAT_TPU_TESTS") == "1":
+        yield   # hardware run: compiled Mosaic path
+        return
     from jax.experimental.pallas import tpu as pltpu
     ctx = pltpu.force_tpu_interpret_mode()
     ctx.__enter__()
