@@ -62,3 +62,30 @@ def test_aec_full_pipeline_from_mgk(tmp_path):
     out = audio.process_wav_stream(stream, x)
     assert out.shape == x.shape and np.isfinite(out).all()
     assert np.abs(out).max() <= 1.5
+
+
+def test_stft_matmul_matches_fft(rng):
+    """The matmul real-DFT (TPU-servable, no complex dtype) must match
+    jnp.fft.rfft numerically."""
+    x = jnp.asarray(rng.normal(size=(2, 4096)).astype(np.float32) * 0.5)
+    re, im = audio.stft_ri(x)
+    # fft oracle over the same framing
+    frames = np.asarray(audio._frames(x))
+    spec = np.fft.rfft(frames, axis=-1)[..., :audio.FREQ_BINS]
+    np.testing.assert_allclose(np.asarray(re),
+                               np.swapaxes(spec.real, 1, 2),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im),
+                               np.swapaxes(spec.imag, 1, 2),
+                               atol=2e-3)
+
+
+def test_istft_ri_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(1, 16384)).astype(np.float32) * 0.3)
+    re, im = audio.stft_ri(x)
+    back = audio.istft_ri(re, im, n_samples=16384)
+    xin = np.asarray(x)[0][audio.N_FFT:-audio.N_FFT]
+    got = np.asarray(back)[0][audio.N_FFT:-audio.N_FFT]
+    # same bound as the complex-path roundtrip: reconstruction is
+    # perfect except the dropped Nyquist bin's white-noise energy
+    assert np.abs(got - xin).mean() < 0.02

@@ -47,24 +47,76 @@ def _window() -> jnp.ndarray:
     return jnp.hanning(N_FFT).astype(jnp.float32)
 
 
-def stft(x: jax.Array) -> jax.Array:
-    """[B, samples] -> complex spectrogram [B, FREQ_BINS, T]."""
+def _dft_mats() -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real-DFT analysis matrices [N_FFT, FREQ_BINS] (cos, -sin)."""
+    n = np.arange(N_FFT)[:, None]
+    k = np.arange(FREQ_BINS)[None, :]
+    ang = 2.0 * np.pi * n * k / N_FFT
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(-np.sin(ang), jnp.float32))
+
+
+def _idft_mats() -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real-iDFT synthesis matrices [FREQ_BINS, N_FFT]: x[n] =
+    (1/N) * sum_k alpha_k (re_k cos - im_k sin), alpha = 1 for k=0,
+    2 for 0<k<N/2 (bin N/2 is dropped — the model zeroes it)."""
+    k = np.arange(FREQ_BINS)[:, None]
+    n = np.arange(N_FFT)[None, :]
+    ang = 2.0 * np.pi * k * n / N_FFT
+    alpha = np.where(k == 0, 1.0, 2.0) / N_FFT
+    return (jnp.asarray(alpha * np.cos(ang), jnp.float32),
+            jnp.asarray(-alpha * np.sin(ang), jnp.float32))
+
+
+def _frames(x: jax.Array) -> jax.Array:
     b, n = x.shape
     t = max(0, (n - N_FFT) // HOP + 1)
     idx = (jnp.arange(t)[:, None] * HOP + jnp.arange(N_FFT)[None, :])
-    frames = x[:, idx] * _window()[None, None, :]        # [B, T, N_FFT]
-    spec = jnp.fft.rfft(frames, axis=-1)                 # [B, T, 257]
-    return jnp.swapaxes(spec[..., :FREQ_BINS], 1, 2)     # [B, 256, T]
+    return x[:, idx] * _window()[None, None, :]          # [B, T, N_FFT]
+
+
+def stft_ri(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[B, samples] -> (re, im) spectrograms [B, FREQ_BINS, T].
+
+    Real matmul DFT (512-point, tiny) instead of ``jnp.fft.rfft``: the
+    tunneled TPU runtime has no complex-dtype ops, and a real-valued
+    formulation keeps the whole AEC pipeline one device program."""
+    frames = _frames(x)
+    cm, sm = _dft_mats()
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btn,nk->btk", frames, cm, precision=hi)
+    im = jnp.einsum("btn,nk->btk", frames, sm, precision=hi)
+    return jnp.swapaxes(re, 1, 2), jnp.swapaxes(im, 1, 2)
+
+
+def stft(x: jax.Array) -> jax.Array:
+    """[B, samples] -> complex spectrogram [B, FREQ_BINS, T] (host/CPU
+    convenience wrapper over :func:`stft_ri`)."""
+    re, im = stft_ri(x)
+    return jax.lax.complex(re, im)
+
+
+def istft_ri(re: jax.Array, im: jax.Array,
+             n_samples: Optional[int] = None) -> jax.Array:
+    """(re, im) [B, FREQ_BINS, T] -> [B, samples] via matmul iDFT +
+    overlap-add. Complex-free (TPU-servable)."""
+    b, f, t = re.shape
+    icm, ism = _idft_mats()
+    hi = jax.lax.Precision.HIGHEST
+    frames = (jnp.einsum("bft,fn->btn", re, icm, precision=hi)
+              + jnp.einsum("bft,fn->btn", im, ism, precision=hi))
+    frames = frames * _window()[None, None, :]
+    return _overlap_add(frames, n_samples)
 
 
 def istft(spec: jax.Array, n_samples: Optional[int] = None) -> jax.Array:
     """[B, FREQ_BINS, T] complex -> [B, samples] via overlap-add."""
-    b, f, t = spec.shape
-    full = jnp.concatenate(
-        [jnp.swapaxes(spec, 1, 2),
-         jnp.zeros((b, t, 257 - f), spec.dtype)], axis=-1)
-    frames = jnp.fft.irfft(full, n=N_FFT, axis=-1)       # [B, T, N_FFT]
-    frames = frames * _window()[None, None, :]
+    return istft_ri(jnp.real(spec), jnp.imag(spec), n_samples)
+
+
+def _overlap_add(frames: jax.Array,
+                 n_samples: Optional[int]) -> jax.Array:
+    b, t, _ = frames.shape
     out_len = (t - 1) * HOP + N_FFT
     out = jnp.zeros((b, out_len), jnp.float32)
     norm = jnp.zeros((out_len,), jnp.float32)
@@ -91,9 +143,9 @@ def process_wav(model, audio: np.ndarray, chunk: int = 8) -> np.ndarray:
     mask (carried GRU state) -> apply -> istft. ``model`` is an
     ``models.aec.AECModel``."""
     x = jnp.asarray(audio[None])
-    spec = stft(x)                                       # [1, 256, T] cplx
-    mag = jnp.log1p(jnp.abs(spec)).astype(jnp.float32)
-    t = spec.shape[2]
+    re, im = stft_ri(x)                                  # [1, 256, T] x2
+    mag = jnp.log1p(jnp.sqrt(re * re + im * im))
+    t = re.shape[2]
     n_chunks = t // chunk
     state = None
     masks = []
@@ -105,8 +157,8 @@ def process_wav(model, audio: np.ndarray, chunk: int = 8) -> np.ndarray:
         return np.asarray(audio)
     mask = jnp.asarray(np.concatenate(masks, axis=2))    # [1, 256, T']
     t_used = mask.shape[2]
-    cleaned = spec[:, :, :t_used] * mask.astype(spec.dtype)
-    out = istft(cleaned, n_samples=len(audio))
+    out = istft_ri(re[:, :, :t_used] * mask, im[:, :, :t_used] * mask,
+                   n_samples=len(audio))
     return np.asarray(out[0])
 
 
@@ -117,9 +169,9 @@ def process_wav_stream(stream, audio: np.ndarray) -> np.ndarray:
     frame, hop-overlap-add — the reference's ``scripts/aec_inference.py``
     application semantics."""
     x = jnp.asarray(audio[None])
-    spec = stft(x)                                  # [1, 256, T] complex
-    mag = np.asarray(jnp.log1p(jnp.abs(spec)), np.float32)
-    t = spec.shape[2]
+    re, im = stft_ri(x)                             # [1, 256, T] x2
+    mag = np.asarray(jnp.log1p(jnp.sqrt(re * re + im * im)), np.float32)
+    t = re.shape[2]
     n_frames = 8
     if t < n_frames:
         return np.asarray(audio)
@@ -129,6 +181,6 @@ def process_wav_stream(stream, audio: np.ndarray) -> np.ndarray:
         window = mag[:, :, i:i + n_frames]
         m, state = stream.run(window, state)        # [1, 256, 2]
         mask_frames[:, :, i + n_frames - 1] = m[0, :, 0]
-    cleaned = spec * jnp.asarray(mask_frames).astype(spec.dtype)
-    out = istft(cleaned, n_samples=len(audio))
+    mk = jnp.asarray(mask_frames)
+    out = istft_ri(re * mk, im * mk, n_samples=len(audio))
     return np.asarray(out[0])
