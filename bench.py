@@ -12,6 +12,8 @@ Env knobs:
   TAT_BENCH_MODEL   yolov5 size letter (default "s")
   TAT_BENCH_EXACT   1 = bit-exact int8 tier instead of the fast tier
   TAT_BENCH_F32ACC  1 = f32 conv accumulation (default bf16)
+  TAT_BENCH_MARS    path to a real .mars model to run through the same
+                    pipeline (e.g. models/yolov5n_cal_int8.mars)
 """
 
 from __future__ import annotations
@@ -35,8 +37,20 @@ def build_pipeline(batch: int, size: str):
     from thingino_accel_tpu.models import yolo, zoo
     from thingino_accel_tpu.runtime import Engine, EngineOptions
 
-    cfg = zoo.ZooConfig(dtype="int8", in_hw=(640, 640))
-    graph = zoo.build_yolov5(size, cfg)
+    mars_path = os.environ.get("TAT_BENCH_MARS")
+    if mars_path:
+        # real-weight model (e.g. models/yolov5n_cal_int8.mars, the
+        # PTQ-calibrated model behind ACCURACY.md) through the same
+        # e2e pipeline; rewire to the raw detect-conv heads
+        from thingino_accel_tpu.formats import mars as M
+        from thingino_accel_tpu.ir.graph import from_mars
+        graph = from_mars(M.read_mars(mars_path))
+        det = yolo.find_detect_outputs(graph)
+        if det:
+            graph = graph.with_outputs(det)
+    else:
+        cfg = zoo.ZooConfig(dtype="int8", in_hw=(640, 640))
+        graph = zoo.build_yolov5(size, cfg)
     precision = "exact" if os.environ.get("TAT_BENCH_EXACT") == "1" else "fast"
     accum = (None if os.environ.get("TAT_BENCH_F32ACC") == "1"
              else jnp.bfloat16)   # bf16 accumulation: +~15% (docs/KERNELS.md)
@@ -54,9 +68,12 @@ def build_pipeline(batch: int, size: str):
     body = eng._fn
     params = eng.params
 
+    in_t = eng.graph.tensors[in_name]
+    in_hw = (in_t.shape[1], in_t.shape[2])
+
     @jax.jit
     def pipeline(frames_u8):
-        lb = yolo.letterbox_uint8(frames_u8, (640, 640))
+        lb = yolo.letterbox_uint8(frames_u8, in_hw)
         x = yolo.quantize_input_int8(lb)
         feats = body(params, {in_name: x})
         heads = [feats[k] for k in out_names]
@@ -69,7 +86,7 @@ def build_pipeline(batch: int, size: str):
 
     frames = jnp.asarray(
         np.random.default_rng(0).integers(
-            0, 256, (batch, 640, 640, 3), dtype=np.uint8))
+            0, 256, (batch,) + in_hw + (3,), dtype=np.uint8))
     return pipeline, frames
 
 
@@ -109,8 +126,10 @@ def main() -> None:
         if fps > best_fps:
             best_fps, best_batch = fps, b
 
+    model_tag = (os.path.basename(os.environ["TAT_BENCH_MARS"])
+                 if os.environ.get("TAT_BENCH_MARS") else f"yolov5{size}")
     result = {
-        "metric": f"yolov5{size}-int8@640 e2e frames/sec/chip "
+        "metric": f"{model_tag}-int8@640 e2e frames/sec/chip "
                   f"(decode+NMS incl., batch {best_batch})",
         "value": round(best_fps, 1),
         "unit": "fps",
