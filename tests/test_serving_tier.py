@@ -117,3 +117,55 @@ def test_stem_stage_bitwise_equals_legacy_path(rng):
         EX._plan_folds = orig
     for k in with_stage:
         np.testing.assert_array_equal(with_stage[k], legacy[k])
+
+
+def test_sppf_with_residual_consumer(rng):
+    """A 1x1 conv over an SPPF concat that ALSO carries a fused
+    residual: the SPPF fast path declines (residual set), the virtual
+    concat must materialize the skipped pools on demand."""
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+    b = zoo.GraphBuilder("sppfres", cfg)
+    # 32-ch input & 128-ch pyramid -> fold-1 layouts (the real SPPF
+    # runs at C>=256; thin stems fold and are not SPPF-shaped)
+    x = b.input("input", (1, 16, 16, 32))
+    y0 = b.conv(x, 128, 3, 1, act="RELU")
+    m1 = b.maxpool(y0, 5, 1)
+    m2 = b.maxpool(m1, 5, 1)
+    m3 = b.maxpool(m2, 5, 1)
+    cat = b.concat([y0, m1, m2, m3])
+    r = b.conv(y0, 128, 1, 1, act="RELU")
+    z = b.conv(cat, 128, 1, 1, act="RELU")
+    out = b.add(z, r)
+    g = b.finish([out])
+
+    xin = rng.integers(-64, 64, (1, 16, 16, 32), dtype=np.int8)
+    oe = Engine(g, EngineOptions(precision="exact")).run_np(xin)
+    os_ = Engine(g, EngineOptions(precision="serving")).run_np(xin)
+    for k in oe:
+        d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
+        assert d.max() <= 1, (k, d.max())
+
+
+def test_sppf_plain_matches_exact(rng):
+    """SPPF pattern (pools + concat + 1x1, RELU) through the fused
+    kernel == exact tier (linear contract)."""
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+    b = zoo.GraphBuilder("sppf", cfg)
+    x = b.input("input", (1, 16, 16, 32))
+    y0 = b.conv(x, 128, 3, 1, act="RELU")
+    m1 = b.maxpool(y0, 5, 1)
+    m2 = b.maxpool(m1, 5, 1)
+    m3 = b.maxpool(m2, 5, 1)
+    cat = b.concat([y0, m1, m2, m3])
+    z = b.conv(cat, 128, 1, 1, act="RELU")
+    g = b.finish([z])
+
+    from thingino_accel_tpu.runtime.executor import _plan_folds
+    plan = _plan_folds(list(g.nodes), g.tensors)
+    assert plan.sppf, "SPPF pattern should be detected"
+
+    xin = rng.integers(-64, 64, (1, 16, 16, 32), dtype=np.int8)
+    oe = Engine(g, EngineOptions(precision="exact")).run_np(xin)
+    os_ = Engine(g, EngineOptions(precision="serving")).run_np(xin)
+    for k in oe:
+        np.testing.assert_array_equal(oe[k], os_[k])

@@ -592,6 +592,9 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
             elif src in plan.virtual_concat and a["kernel"] == (1, 1) \
                     and s == 1:
                 ins = plan.virtual_concat[src]
+                for i in ins:
+                    if i not in env:   # skipped SPPF pool parts etc.
+                        _ensure_logical(i, env, tensors, plan)
                 if any(rtf(i) != f_out or i in plan.qbf16_env
                        for i in ins):
                     # runtime layouts diverged from the plan ->
