@@ -373,3 +373,29 @@ def test_sppf_fused_vs_oracle(rng):
             0.05, 0.02, 0.1, act=act))
         diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= (0 if act == "RELU" else 1), (act, diff.max())
+
+
+def test_matmul_multi_mixed_scales_with_bias(rng):
+    """Code-review regression: the mixed-scale path must scale the
+    int32 bias by bias_scale (it used to add it raw, ~1/in_s too
+    large)."""
+    m, k1, k2, n = 32, 64, 64, 32
+    x1 = rng.integers(-100, 100, (m, k1), dtype=np.int8)
+    x2 = rng.integers(-100, 100, (m, k2), dtype=np.int8)
+    w = rng.integers(-64, 64, (k1 + k2, n), dtype=np.int8)
+    b = rng.integers(-500, 500, (n,), dtype=np.int32)
+    s1, s2, ws, so = 0.03, 0.031, 0.02, 0.07
+    got = np.asarray(FK.matmul_int8_fused_multi(
+        [jnp.asarray(x1), jnp.asarray(x2)],
+        [jnp.asarray(w[:k1]), jnp.asarray(w[k1:])],
+        jnp.asarray(b), [s1, s2], ws, so, act="NONE", bias_scale=s1))
+    a1 = x1.astype(np.int32) @ w[:k1].astype(np.int32)
+    a2 = x2.astype(np.int32) @ w[k1:].astype(np.int32)
+    pre = (a1.astype(np.float32) * np.float32(s1)
+           + a2.astype(np.float32) * np.float32(s2)
+           + b.astype(np.float32) * np.float32(s1)) \
+        * (np.float32(ws) / np.float32(so))
+    sh = pre + np.where(pre >= 0, np.float32(0.5), np.float32(-0.5))
+    ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, diff.max()

@@ -104,8 +104,8 @@ def test_stem_stage_bitwise_equals_legacy_path(rng):
     with_stage = Engine(g, EngineOptions(precision="serving")).run_np(x)
     orig = EX._plan_folds
 
-    def no_stage(nodes, tensors):
-        p = orig(nodes, tensors)
+    def no_stage(nodes, tensors, *a, **kw):
+        p = orig(nodes, tensors, *a, **kw)
         p.stem_stage = set()
         p.stem_emit = {}
         return p
@@ -169,3 +169,24 @@ def test_sppf_plain_matches_exact(rng):
     os_ = Engine(g, EngineOptions(precision="serving")).run_np(xin)
     for k in oe:
         np.testing.assert_array_equal(oe[k], os_[k])
+
+
+def test_res_fuse_skipped_when_conv_out_is_graph_output(rng):
+    """A conv output that is both the single ADD input AND a graph
+    output must stay materialized (code-review regression: the fusion
+    used to store only the ADD's name -> KeyError at output
+    collection)."""
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+    b = zoo.GraphBuilder("resout", cfg)
+    x = b.input("input", (1, 16, 16, 32))
+    z = b.conv(x, 32, 3, 1, act="RELU")
+    r = b.conv(x, 32, 1, 1, act="RELU")
+    s = b.add(z, r)
+    g = b.finish([z, s])   # conv output exposed alongside the sum
+
+    xin = rng.integers(-64, 64, (1, 16, 16, 32), dtype=np.int8)
+    oe = Engine(g, EngineOptions(precision="exact")).run_np(xin)
+    os_ = Engine(g, EngineOptions(precision="serving")).run_np(xin)
+    for k in oe:
+        d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
+        assert d.max() <= 1, (k, d.max())

@@ -181,7 +181,8 @@ def matmul_int8_fused(
 
 
 def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
-                     part_scales, act: str, inv_out: float, alpha: float,
+                     part_scales, bias_scale: float, act: str,
+                     inv_out: float, alpha: float,
                      has_res: bool, res_scale: float):
     xs = refs[:n_parts]
     ws = refs[n_parts:2 * n_parts]
@@ -204,12 +205,16 @@ def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
             alpha=alpha, res=res_ref[:] if has_res else None,
             res_scale=res_scale)
     else:
-        # per-part input scales: combine partial sums in f32
+        # per-part input scales: combine partial sums in f32.
+        # bias is int32 in units bias_scale * w_scale (the conv input
+        # tensor's scale) — scale it into real pre-w units before the
+        # shared w/out multiply.
         accf = dot(0).astype(jnp.float32) * jnp.float32(part_scales[0])
         for i in range(1, n_parts):
             accf = accf + dot(i).astype(jnp.float32) * \
                 jnp.float32(part_scales[i])
-        accf = (accf + bias_ref[:].astype(jnp.float32)) * cs_ref[:]
+        accf = (accf + bias_ref[:].astype(jnp.float32)
+                * jnp.float32(bias_scale)) * cs_ref[:]
         if act == "RELU":
             accf = jnp.maximum(accf, 0.0)
         elif act == "LEAKY_RELU":
@@ -236,13 +241,16 @@ def matmul_int8_fused_multi(
     alpha: float = 0.01,
     residual: Optional[jax.Array] = None,   # [M, >=N] int8
     res_scale: float = 1.0,
+    bias_scale: Optional[float] = None,     # bias units (default s_0)
     block_m: int = 512,
     block_n: int = 256,
     keep_phys: bool = False,
 ) -> jax.Array:
     """``requant(act((sum_i x_i @ w_i) * s) [+ r*sr])`` — the fused
     lowering of CONCAT -> 1x1 CONV [-> ADD]. Parts' K dims are padded
-    to 128 independently; no K-grid (1x1 conv K <= a few hundred)."""
+    to 128 independently; no K-grid (1x1 conv K <= a few hundred).
+    ``bias`` is int32 in units ``bias_scale * w_scale`` (the conv input
+    tensor's scale; defaults to the first part's scale)."""
     m = xs[0].shape[0]
     n = ws[0].shape[1]
     n_parts = len(xs)
@@ -260,7 +268,11 @@ def matmul_int8_fused_multi(
         ws_p.append(jnp.pad(w, ((0, kp - k), (0, np_ - n)))
                     if (k, n) != (kp, np_) else w)
 
-    same_scale = len(set(float(np.float32(s)) for s in in_scales)) == 1
+    if bias_scale is None:
+        bias_scale = float(in_scales[0])
+    same_scale = (len(set(float(np.float32(s)) for s in in_scales)) == 1
+                  and float(np.float32(bias_scale))
+                  == float(np.float32(in_scales[0])))
     if same_scale:
         b, cs, inv_out = _scale_rows(
             bias, w_scale, in_scales[0], out_scale, act, n, np_)
@@ -305,7 +317,8 @@ def matmul_int8_fused_multi(
 
     kernel = functools.partial(
         _mm_multi_kernel, n_parts=n_parts, same_scale=same_scale,
-        part_scales=[float(s) for s in in_scales], act=act,
+        part_scales=[float(s) for s in in_scales],
+        bias_scale=float(bias_scale), act=act,
         inv_out=inv_out, alpha=alpha, has_res=has_res,
         res_scale=res_scale_eff)
     out = pl.pallas_call(
@@ -487,7 +500,8 @@ def conv2d_int8_halo_fused(
 # ---------------------------------------------------------------------------
 
 
-def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
+def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf,
+                 pools, *,
                  hw: Tuple[int, int], k: int, act: str, inv_out: float,
                  alpha: float):
     # x_ref: [1, H, W, Cp]; w_ref: [4, Cp, block_n]; buf: VMEM scratch
@@ -514,12 +528,19 @@ def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
         return out
 
     y0 = x_ref[0]
-    m1 = pool(y0.astype(jnp.int32))
-    m2 = pool(m1)
-    m3 = pool(m2)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        # pool pyramid once per image; further oc blocks reuse it
+        m1 = pool(y0.astype(jnp.int32))
+        m2 = pool(m1)
+        m3 = pool(m2)
+        pools[0] = m1.astype(jnp.int8)
+        pools[1] = m2.astype(jnp.int8)
+        pools[2] = m3.astype(jnp.int8)
+
     acc = None
-    for i, z in enumerate((y0, m1.astype(jnp.int8),
-                           m2.astype(jnp.int8), m3.astype(jnp.int8))):
+    for i, z in enumerate((y0, pools[0], pools[1], pools[2])):
         d = jax.lax.dot_general(
             z.reshape(h * w, cq), w_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -576,9 +597,12 @@ def sppf_int8_fused(
         out_specs=pl.BlockSpec((1, h, w, block_n),
                                lambda ni, oi: (ni, 0, 0, oi)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, op), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((h + 2 * p, w + 2 * p, cp), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * p, w + 2 * p, cp), jnp.int32),
+            pltpu.VMEM((3, h, w, cp), jnp.int8),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "arbitrary")),
     )(x, wk, b, cs)
     if keep_phys:
         return out
@@ -1192,7 +1216,11 @@ def conv2d_int8_fused(
     if stride[0] != stride[1]:
         raise ValueError("fused conv needs square stride")
     if c < 16:
-        return conv2d_int8_stem_fused(
+        if kh * kw * c <= 1040:   # bf16-exact f32-accumulation bound
+            return conv2d_int8_stem_fused(
+                x, w_hwio, bias, out_hw, stride, pads,
+                in_scale, w_scale, out_scale, act, alpha)
+        return conv2d_int8_im2col_fused(
             x, w_hwio, bias, out_hw, stride, pads,
             in_scale, w_scale, out_scale, act, alpha)
     return conv2d_int8_halo_fused(

@@ -105,7 +105,7 @@ def build_executor(
         from thingino_accel_tpu.ir.passes import fuse_silu_pairs
         nodes = fuse_silu_pairs(graph)
 
-    plan = _plan_folds(nodes, tensors) \
+    plan = _plan_folds(nodes, tensors, graph.outputs) \
         if opts.conv_backend == "fused" and not compat else None
 
     def fn(params: Dict[str, jax.Array],
@@ -172,7 +172,7 @@ class _FoldPlan:
         #   input names (never materialized; consumers are 1x1 convs)
         self.sppf: Dict[str, tuple] = {}    # concat out -> (src, k)
         self.pool_of: Dict[str, tuple] = {}  # skipped maxpool out ->
-        #   (src name, k, n_applications) for on-demand recompute
+        #   (predecessor name, k) for on-demand one-level recompute
         self.skip_outputs: set = set()      # nodes folded into a
         #   consumer's kernel (fused ADDs, SPPF maxpools)
 
@@ -200,7 +200,7 @@ def _conv_fold_eligible(node: Node, tensors) -> bool:
     return True
 
 
-def _plan_folds(nodes, tensors) -> _FoldPlan:
+def _plan_folds(nodes, tensors, graph_outputs=()) -> _FoldPlan:
     plan = _FoldPlan()
 
     # stem-stage membership: a fold-eligible conv is kept on the XLA
@@ -313,11 +313,13 @@ def _plan_folds(nodes, tensors) -> _FoldPlan:
                 plan.parts[out] = tuple(ps)
 
     plan.consumers = consumers
-    _plan_epilogue_fusions(nodes, tensors, plan, consumers)
+    _plan_epilogue_fusions(nodes, tensors, plan, consumers,
+                           set(graph_outputs))
     return plan
 
 
-def _plan_epilogue_fusions(nodes, tensors, plan, consumers) -> None:
+def _plan_epilogue_fusions(nodes, tensors, plan, consumers,
+                           graph_outputs=frozenset()) -> None:
     """Pattern-match fusions that run inside a conv kernel's epilogue:
 
     - residual add: ``ADD(conv_out, r)`` where the conv's output has no
@@ -352,6 +354,8 @@ def _plan_epilogue_fusions(nodes, tensors, plan, consumers) -> None:
                 "NONE", "RELU", "LEAKY_RELU", "SILU"):
             continue
         cons = consumers.get(out, [])
+        if out in graph_outputs:
+            continue   # the conv's own tensor must stay materialized
         if len(cons) != 1 or cons[0].op != "ADD" \
                 or len(cons[0].inputs) != 2:
             continue
@@ -406,6 +410,11 @@ def _plan_epilogue_fusions(nodes, tensors, plan, consumers) -> None:
                 a = mn.attrs
                 t_in = tensors[mn.inputs[0]]
                 t_out = tensors[mn.outputs[0]]
+                if k0 is None:
+                    return False
+                p = (k0[0] - 1) // 2
+                if _pool_pads(a) != ((p, p), (p, p)):
+                    return False   # fused kernel assumes centered SAME
                 return (a.get("kernel") == k0
                         and a.get("kernel", (1, 1))[0] ==
                         a.get("kernel", (1, 1))[1]
@@ -426,9 +435,9 @@ def _plan_epilogue_fusions(nodes, tensors, plan, consumers) -> None:
                 < 1e-12 for i in ins)
             if pool_only and clean and scales_eq:
                 plan.sppf[out] = (ins[0], k0[0])
-                for i, m in enumerate(ms):
+                for m, src_nm in zip(ms, chain_src):
                     plan.skip_outputs.add(m.outputs[0])
-                    plan.pool_of[m.outputs[0]] = (ins[0], k0[0], i + 1)
+                    plan.pool_of[m.outputs[0]] = (src_nm, k0[0])
 
 
 def _ensure_logical(name, env, tensors, plan) -> None:
@@ -438,14 +447,13 @@ def _ensure_logical(name, env, tensors, plan) -> None:
         return
     if name not in env and name in plan.pool_of:
         # skipped SPPF maxpool needed outside the fused path: recompute
-        src, k, times = plan.pool_of[name]
+        # one level from its (possibly also recomputed) predecessor
+        src, k = plan.pool_of[name]
         _ensure_logical(src, env, tensors, plan)
         z = env[src]
         p = (k - 1) // 2
         hw = (z.shape[1], z.shape[2])
-        for _ in range(times):
-            z = R.maxpool(z, (k, k), (1, 1), hw, ((p, p), (p, p)))
-        env[name] = z
+        env[name] = R.maxpool(z, (k, k), (1, 1), hw, ((p, p), (p, p)))
         return
     if name not in env and name in plan.virtual_concat:
         ins = plan.virtual_concat[name]
@@ -540,7 +548,8 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
         pads = R._conv_pads(
             (in_t.shape[1], in_t.shape[2]), out_hw, a["kernel"],
             a["stride"], a["dilation"], a["padding"], a["explicit_pad"])
-        if out_name in plan.stem_stage or cin < 16:
+        k2c = a["kernel"][0] * a["kernel"][1] * cin
+        if (out_name in plan.stem_stage or cin < 16) and k2c <= 1040:
             emit = plan.stem_emit.get(out_name, "int8")
             if node.inputs[0] in plan.qbf16_env:
                 x = env[node.inputs[0]]     # integer values as bf16
@@ -657,7 +666,7 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                         jnp.tile(ws_vec, f_out), out_s,
                         act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
                         residual=res_m, res_scale=res_scale,
-                        keep_phys=True)
+                        bias_scale=scale(src), keep_phys=True)
                     out = out.reshape(nb, hh, wgg, -1)
             else:
                 g = s * f_out
