@@ -105,7 +105,10 @@ def warp_perspective(
     dst = jnp.stack([gx, gy, ones], axis=-1)        # [OH, OW, 3]
 
     def one(img_i, m_i):
-        src = jnp.einsum("ij,hwj->hwi", m_i, dst)
+        # HIGHEST: default TPU f32 matmul runs bf16 passes — coordinate
+        # math must stay f32-exact or warped pixels shift
+        src = jnp.einsum("ij,hwj->hwi", m_i, dst,
+                         precision=jax.lax.Precision.HIGHEST)
         z = src[..., 2]
         z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
         sx = src[..., 0] / z
