@@ -138,3 +138,39 @@ def test_pipeline_multiple_microbatches(mesh8):
         for k in ref:
             np.testing.assert_allclose(np.asarray(o[k]), ref[k],
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_detector_e2e():
+    """Full detection pipeline dp-sharded over the 8-device mesh:
+    frames in, fixed-shape detections out, outputs dp-sharded."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from thingino_accel_tpu.models import zoo
+    from thingino_accel_tpu.runtime import Engine, EngineOptions
+    from thingino_accel_tpu.parallel import make_mesh, make_sharded_detector
+
+    mesh = make_mesh(dp=4, tp=2)
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64)))
+    eng = Engine(g, EngineOptions(precision="fast"))
+    fn, sp = make_sharded_detector(eng, mesh, max_dets=10)
+    frames = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (8, 48, 64, 3), dtype=np.uint8))
+    boxes, scores, classes, valid = fn(sp, frames)
+    jax.block_until_ready(boxes)
+    assert boxes.shape == (8, 10, 4) and valid.shape == (8, 10)
+    # outputs actually sharded over dp
+    assert len(boxes.sharding.device_set) == 8
+    # parity vs the unsharded pipeline on the same frames
+    from thingino_accel_tpu.models import yolo
+    in_name = eng.graph.inputs[0]
+    outs = list(eng.graph.outputs)
+    lb = yolo.letterbox_uint8(frames, (64, 64))
+    x = yolo.quantize_input_int8(lb)
+    feats = eng._fn(eng.params, {in_name: x})
+    b, c, cl = yolo.decode_and_parse([feats[k] for k in outs], scales=[
+        eng.graph.tensors[o].quant.scale for o in outs] if np.issubdtype(
+        eng.graph.tensors[outs[0]].dtype, np.signedinteger) else None)
+    ref = yolo.nms_batched(b, c, cl, max_dets=10)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref.scores),
+                               rtol=1e-5, atol=1e-5)

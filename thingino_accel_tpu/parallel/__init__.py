@@ -12,10 +12,12 @@ from thingino_accel_tpu.parallel.mesh import (
     make_mesh, param_sharding_rules, shard_params, batch_sharding,
 )
 from thingino_accel_tpu.parallel.shard import (
-    make_sharded_forward, make_sharded_train_step,
+    make_sharded_detector, make_sharded_forward,
+    make_sharded_train_step,
 )
 
 __all__ = [
     "make_mesh", "param_sharding_rules", "shard_params", "batch_sharding",
-    "make_sharded_forward", "make_sharded_train_step",
+    "make_sharded_detector", "make_sharded_forward",
+    "make_sharded_train_step",
 ]

@@ -92,3 +92,55 @@ def make_sharded_train_step(
         donate_argnums=(0, 1),
     )
     return train_step, params, opt_state
+
+
+def make_sharded_detector(engine, mesh: Mesh, *,
+                          max_dets: int = 100,
+                          conf_thresh: float = 0.25,
+                          iou_thresh: float = 0.45):
+    """Full e2e detection pipeline (letterbox -> quantize -> backbone ->
+    decode -> NMS) dp-sharded over the mesh: multi-chip batched serving
+    (BASELINE config 5 beyond one chip). Every frame's postprocess runs
+    on the chip that computed its backbone — no cross-chip traffic
+    besides the initial batch scatter.
+
+    Returns ``(fn, sharded_params)``; ``fn(sharded_params, frames_u8)``
+    takes [B, H, W, 3] uint8 (B divisible by mesh 'dp') and returns
+    fixed-shape Detections arrays sharded over dp.
+    """
+    from thingino_accel_tpu.models import yolo
+
+    np_params = {k: np.asarray(v) for k, v in engine.params.items()}
+    rules = param_sharding_rules(np_params, mesh)
+    sharded_params = {
+        k: jax.device_put(v, rules[k]) for k, v in engine.params.items()}
+    xsh = batch_sharding(mesh)
+    body = engine._fn
+
+    in_name = engine.graph.inputs[0]
+    out_names = list(engine.graph.outputs)
+    in_t = engine.graph.tensors[in_name]
+    in_hw = (in_t.shape[1], in_t.shape[2])
+    quant_out = any(
+        np.issubdtype(engine.graph.tensors[o].dtype, np.signedinteger)
+        for o in out_names)
+    scales = ([engine.graph.tensors[o].quant.scale for o in out_names]
+              if quant_out else None)
+
+    def pipeline(params, frames_u8):
+        lb = yolo.letterbox_uint8(frames_u8, in_hw)
+        x = yolo.quantize_input_int8(lb)
+        feats = body(params, {in_name: x})
+        heads = [feats[k] for k in out_names]
+        boxes, conf, cls = yolo.decode_and_parse(heads, scales=scales)
+        dets = yolo.nms_batched(boxes, conf, cls, max_dets=max_dets,
+                                conf_thresh=conf_thresh,
+                                iou_thresh=iou_thresh)
+        return dets.boxes, dets.scores, dets.classes, dets.valid
+
+    fn = jax.jit(
+        pipeline,
+        in_shardings=(rules, xsh),
+        out_shardings=NamedSharding(mesh, P("dp")),
+    )
+    return fn, sharded_params
