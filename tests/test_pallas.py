@@ -91,12 +91,20 @@ def test_backend_dispatch(rng):
 
 
 def test_halo_kernel_matrix(rng):
-    """Halo-tile conv across kernel/stride variants, bit-exact vs XLA."""
+    """Halo-tile conv across kernel/stride variants, bit-exact vs XLA.
+
+    Stride-2 cases run in interpret mode only: the legacy halo kernel's
+    strided taps need strided VMEM slices, which compiled Mosaic lacks
+    (docs/KERNELS.md) — the serving tier's W-phase-folded kernel
+    (ops/fused_kernels.py) is the hardware path for strided convs."""
     from thingino_accel_tpu.ops import pallas_kernels as PK
+    on_hw = os.environ.get("TAT_TPU_TESTS") == "1"
     for (n, h, w, c, o, k, s) in [(1, 16, 16, 8, 16, 3, 1),
                                   (2, 17, 15, 4, 8, 3, 2),
                                   (1, 12, 12, 8, 8, 5, 1),
                                   (1, 9, 9, 16, 8, 1, 2)]:
+        if on_hw and s > 1:
+            continue
         x = jnp.asarray(rng.integers(-128, 128, (n, h, w, c), dtype=np.int8))
         wt = jnp.asarray(rng.integers(-128, 128, (k, k, c, o), dtype=np.int8))
         b = jnp.asarray(rng.integers(-500, 500, (o,), dtype=np.int32))

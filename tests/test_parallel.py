@@ -146,6 +146,8 @@ def test_sharded_detector_e2e():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
     from thingino_accel_tpu.models import zoo
     from thingino_accel_tpu.runtime import Engine, EngineOptions
     from thingino_accel_tpu.parallel import make_mesh, make_sharded_detector

@@ -112,7 +112,11 @@ def _mm_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, acc_ref, *,
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -137,9 +141,9 @@ def matmul_int8_fused(
     m, k = x.shape
     _, n = w.shape
     mp, np_, kp = _round_up(m, 32), _round_up(n, 128), _round_up(k, 128)
-    block_m = min(block_m, mp)
-    block_n = min(block_n, np_)
-    block_k = min(block_k, kp)
+    block_m = min(_round_up(block_m, 8), mp)
+    block_n = min(_round_up(block_n, 128), np_)
+    block_k = min(_round_up(block_k, 128), kp)
     kp = _round_up(kp, block_k)   # grid walks full K blocks only
     if (m, n, k) != (mp, np_, kp):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
@@ -194,7 +198,11 @@ def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
     def dot(i):
         return jax.lax.dot_general(
             xs[i][:], ws[i][:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
 
     if same_scale:
         acc = dot(0)
@@ -256,8 +264,8 @@ def matmul_int8_fused_multi(
     n_parts = len(xs)
     assert len(ws) == n_parts and len(in_scales) == n_parts
     mp, np_ = _round_up(m, 32), _round_up(n, 128)
-    block_m = min(block_m, mp)
-    block_n = min(block_n, np_)
+    block_m = min(_round_up(block_m, 8), mp)
+    block_n = min(_round_up(block_n, 128), np_)
 
     xs_p, ws_p = [], []
     for x, w in zip(xs, ws):
@@ -373,7 +381,11 @@ def _halo_kernel(*refs, kh: int, qw: int, s: int, tile_h: int, ow: int,
             p = jax.lax.dot_general(
                 sl.reshape(tile_h * ow, cq), w_ref[dy * qw + qx],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
             acc = p if acc is None else acc + p
     res = res_ref[0].reshape(tile_h * ow, -1) if has_res else None
     q = _epilogue(acc, bias_ref[:], cs_ref[:],
@@ -500,8 +512,7 @@ def conv2d_int8_halo_fused(
 # ---------------------------------------------------------------------------
 
 
-def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf,
-                 pools, *,
+def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
                  hw: Tuple[int, int], k: int, act: str, inv_out: float,
                  alpha: float):
     # x_ref: [1, H, W, Cp]; w_ref: [4, Cp, block_n]; buf: VMEM scratch
@@ -528,22 +539,21 @@ def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf,
         return out
 
     y0 = x_ref[0]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        # pool pyramid once per image; further oc blocks reuse it
-        m1 = pool(y0.astype(jnp.int32))
-        m2 = pool(m1)
-        m3 = pool(m2)
-        pools[0] = m1.astype(jnp.int8)
-        pools[1] = m2.astype(jnp.int8)
-        pools[2] = m3.astype(jnp.int8)
-
+    # the pyramid recomputes per oc block — the model family runs a
+    # single 512-wide block, so caching it in scratch buys nothing
+    m1 = pool(y0.astype(jnp.int32))
+    m2 = pool(m1)
+    m3 = pool(m2)
     acc = None
-    for i, z in enumerate((y0, pools[0], pools[1], pools[2])):
+    for i, z in enumerate((y0, m1.astype(jnp.int8),
+                           m2.astype(jnp.int8), m3.astype(jnp.int8))):
         d = jax.lax.dot_general(
             z.reshape(h * w, cq), w_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
         acc = d if acc is None else acc + d
     q = _epilogue(acc, bias_ref[:], cs_ref[:], act=act,
                   inv_out=inv_out, alpha=alpha)
@@ -599,10 +609,9 @@ def sppf_int8_fused(
         out_shape=jax.ShapeDtypeStruct((n, h, w, op), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((h + 2 * p, w + 2 * p, cp), jnp.int32),
-            pltpu.VMEM((3, h, w, cp), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
     )(x, wk, b, cs)
     if keep_phys:
         return out
@@ -697,7 +706,11 @@ def _halo_kernel_dma(x_any, w_ref, bias_ref, cs_ref, out_ref, *,
                     p = jax.lax.dot_general(
                         t_.reshape(tile_h * ow, cq), w_ref[dy * qw + qx],
                         (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
+                        preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
                     acc = p if acc is None else acc + p
             q = _epilogue(acc, bias_ref[:], cs_ref[:],
                           act=act, inv_out=inv_out, alpha=alpha)

@@ -60,7 +60,11 @@ def _mm_requant_kernel(x_ref, w_ref, bias_ref, out_ref, acc_ref, *,
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -93,9 +97,11 @@ def matmul_int8_requant(
     m, k = x.shape
     _, n = w.shape
     mp, np_, kp = _round_up(m, 32), _round_up(n, 128), _round_up(k, 128)
-    block_m = min(block_m, mp)
-    block_n = min(block_n, np_)
-    block_k = min(block_k, kp)
+    # compiled Mosaic requires lane-dim blocks in multiples of 128 and
+    # sublane in multiples of 8 (or the whole padded dim)
+    block_m = min(_round_up(block_m, 8), mp)
+    block_n = min(_round_up(block_n, 128), np_)
+    block_k = min(_round_up(block_k, 128), kp)
     # K must pad to a multiple of block_k: the grid walks kp/block_k full
     # blocks, so a ragged last block would read past the padded array
     # (undefined data into the accumulator).
@@ -158,7 +164,11 @@ def _halo_kernel(x_ref, w_ref, bias_ref, out_ref, *,
             p = jax.lax.dot_general(
                 sl.reshape(tile_h * ow, c), w_ref[dy * kw + dx],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
             acc = p if acc is None else acc + p
     acc = acc + bias_ref[:].astype(jnp.int32)
     scaled = acc.astype(jnp.float32) * jnp.float32(combined_scale)
@@ -329,7 +339,11 @@ def _tapconv_kernel(x_ref, w_ref, bias_ref, out_ref, acc_ref, *,
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[0], w_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.int32,
+                # pin DEFAULT: a global jax_default_matmul_precision
+                # of 'highest' annotates fp32 contract precision on
+                # int8 matmuls, which Mosaic rejects (Bad lhs type)
+                precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(s == n_steps - 1)
     def _():
