@@ -35,6 +35,11 @@ def main() -> int:
         for _ in range(frames_each):
             yield rng.integers(-128, 128, (*hw, 3), dtype=np.int8)
 
+    # warm up (compile) outside the timed run — through the tunneled
+    # runtime the first dispatch costs minutes, not microseconds
+    warm = rng.integers(-128, 128, (batch, *hw, 3), dtype=np.int8)
+    jax.block_until_ready(fn(warm))
+
     batcher = MultiStreamBatcher(streams, batch)
     server = StreamServer(fn, depth=2)
     n_out = sum(1 for _ in server.run(
