@@ -74,7 +74,11 @@ def build_pipeline(batch: int, size: str):
     @jax.jit
     def pipeline(frames_u8):
         lb = yolo.letterbox_uint8(frames_u8, in_hw)
-        x = yolo.quantize_input_int8(lb)
+        # fast tier: keep the quantized integer VALUES in bf16 — the
+        # engine's input DEQUANT accepts any real dtype and the int8
+        # thin-channel materialization costs a relayout
+        x = yolo.quantize_input_int8(
+            lb, dtype=jnp.bfloat16 if precision == "fast" else jnp.int8)
         feats = body(params, {in_name: x})
         heads = [feats[k] for k in out_names]
         # int8 heads decode directly (scales applied on the consumed

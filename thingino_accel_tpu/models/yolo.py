@@ -108,10 +108,15 @@ def nv12_to_rgb(nv12: jax.Array, height: int, width: int) -> jax.Array:
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
-def quantize_input_int8(frames_u8: jax.Array) -> jax.Array:
+def quantize_input_int8(frames_u8: jax.Array, dtype=jnp.int8) -> jax.Array:
     """uint8 [0,255] -> int8 centered: the reference feeds ``pixel - 128``
-    (``src/mars/mars_yolo_test.c:64-71``)."""
-    return (frames_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    (``src/mars/mars_yolo_test.c:64-71``).
+
+    ``dtype=jnp.bfloat16`` emits the SAME integer values stored as bf16
+    (exact: |v| <= 128 < 2^8) — for the bf16 fast tier this skips the
+    thin-channel int8 materialization between the quantize and the
+    engine's input DEQUANT (which accepts any real dtype)."""
+    return (frames_u8.astype(jnp.int32) - 128).astype(dtype)
 
 
 def normalize_input_f32(frames_u8: jax.Array) -> jax.Array:
