@@ -190,3 +190,47 @@ def test_res_fuse_skipped_when_conv_out_is_graph_output(rng):
     for k in oe:
         d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
         assert d.max() <= 1, (k, d.max())
+
+
+def test_random_relu_graphs_serving_close_to_exact(rng):
+    """Property hardening: random small RELU-only graphs (convs of all
+    shapes, adds, concats, maxpools, upsamples) through the serving
+    tier stay within one quantum of exact — fused residual adds are the
+    only sanctioned divergence on linear graphs."""
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        cfg = zoo.ZooConfig(dtype="int8", in_hw=(32, 32), seed=seed)
+        b = zoo.GraphBuilder(f"rand{seed}", cfg)
+        cin = int(r.choice([3, 16, 32]))
+        x = b.input("input", (1, 32, 32, cin))
+        vals = [b.conv(x, int(r.choice([16, 32, 64])),
+                       int(r.choice([1, 3, 6])), int(r.choice([1, 2])),
+                       act="RELU")]
+        for _ in range(5):
+            op = r.choice(["conv", "add", "concat", "pool", "up"])
+            src = vals[-1]
+            shp = b.graph.tensors[src].shape
+            if op == "conv":
+                vals.append(b.conv(src, int(r.choice([16, 32, 64])),
+                                   int(r.choice([1, 3])),
+                                   int(r.choice([1, 2])), act="RELU"))
+            elif op == "add":
+                other = b.conv(src, shp[3], 1, 1, act="RELU")
+                vals.append(b.add(src, other))
+            elif op == "concat":
+                other = b.conv(src, int(r.choice([16, 32])), 1, 1,
+                               act="RELU")
+                cat = b.concat([src, other])
+                vals.append(b.conv(cat, 32, 1, 1, act="RELU"))
+            elif op == "pool" and shp[1] >= 4:
+                vals.append(b.maxpool(src, 3, 1))
+            elif op == "up" and shp[1] <= 32:
+                vals.append(b.upsample(src))
+        g = b.finish([vals[-1]])
+
+        xin = r.integers(-64, 64, (1, 32, 32, cin), dtype=np.int8)
+        oe = Engine(g, EngineOptions(precision="exact")).run_np(xin)
+        os_ = Engine(g, EngineOptions(precision="serving")).run_np(xin)
+        for k in oe:
+            d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
+            assert d.max() <= 1, (seed, k, d.max(), d.mean())
