@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from thingino_accel_tpu.formats import mgk
@@ -17,6 +18,15 @@ needs_aec = pytest.mark.skipif(
 
 
 @needs_aec
+@pytest.fixture
+def highest_precision():
+    """f32-parity tests vs torch CPU: TPU default matmuls run bf16
+    passes; scope HIGHEST to these tests only (a global override would
+    validate the fast tier under a config production never uses)."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 def test_parse_elf_sections():
     elf, meta = mgk.load_mgk(AEC_PATH)
     assert ".text" in elf.sections
@@ -95,7 +105,7 @@ def test_aec_streaming_state_carries():
     assert not np.allclose(np.asarray(m0), np.asarray(outs[1]))
 
 
-def test_gru_cell_matches_torch_convention():
+def test_gru_cell_matches_torch_convention(highest_precision):
     import torch
     c, h = 8, 8
     rng = np.random.default_rng(2)
@@ -165,7 +175,8 @@ def test_mgk_weight_extraction_matches_reference_pipeline():
 
 @needs_aec
 @needs_ref_onnx
-def test_import_mgk_output_parity_vs_reference_pipeline():
+def test_import_mgk_output_parity_vs_reference_pipeline(
+        highest_precision):
     """End-to-end max-error report: our decompile->import path vs the
     reference's extracted-weights ONNX through the same engine."""
     from thingino_accel_tpu.formats.onnx import import_onnx

@@ -176,3 +176,17 @@ def test_sharded_detector_e2e():
     ref = yolo.nms_batched(b, c, cl, max_dets=10)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref.scores),
                                rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref.valid))
+    # boxes/classes: equal-scored candidates may tie-break differently
+    # under GSPMD reduction order — compare only valid entries whose
+    # score is unique within the image
+    sv, rv = np.asarray(scores), np.asarray(ref.valid)
+    for bi in range(sv.shape[0]):
+        uniq, counts = np.unique(sv[bi][rv[bi]], return_counts=True)
+        solo = set(uniq[counts == 1])
+        m = rv[bi] & np.isin(sv[bi], list(solo))
+        np.testing.assert_allclose(np.asarray(boxes)[bi][m],
+                                   np.asarray(ref.boxes)[bi][m],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(classes)[bi][m],
+                                      np.asarray(ref.classes)[bi][m])

@@ -53,7 +53,7 @@ def test_stage_plan_yolov5s():
     g = zoo.build_yolov5("s", zoo.ZooConfig(dtype="int8",
                                             in_hw=(640, 640)))
     g = fuse_act_into_conv(g)
-    plan = _plan_folds(list(g.nodes), g.tensors)
+    plan = _plan_folds(list(g.nodes), g.tensors, g.outputs)
     stem_convs = [n for n in g.nodes if n.op == "CONV2D"
                   and n.outputs[0] in plan.stem_stage]
     assert len(stem_convs) >= 2
@@ -161,7 +161,7 @@ def test_sppf_plain_matches_exact(rng):
     g = b.finish([z])
 
     from thingino_accel_tpu.runtime.executor import _plan_folds
-    plan = _plan_folds(list(g.nodes), g.tensors)
+    plan = _plan_folds(list(g.nodes), g.tensors, g.outputs)
     assert plan.sppf, "SPPF pattern should be detected"
 
     xin = rng.integers(-64, 64, (1, 16, 16, 32), dtype=np.int8)

@@ -223,7 +223,8 @@ def decode_and_parse(
     for i, feat in enumerate(feats):
         b, h, w, ch = feat.shape
         a = anchors.shape[1]
-        sc = jnp.float32(scales[i]) if scales is not None else None
+        sc = (jnp.float32(scales[i])
+              if scales is not None and scales[i] is not None else None)
         x = feat.reshape(b, h, w, a, 5 + num_classes)
         x5 = x[..., 0:5].astype(jnp.float32)
         if sc is not None:

@@ -40,7 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from thingino_accel_tpu.ops.pallas_kernels import _PL_ELEMENT, _cdiv, _round_up
+from thingino_accel_tpu.ops.pallas_kernels import (
+    _PL_ELEMENT, _cdiv, _round_up, dot_i8,
+)
 
 ACTS = ("NONE", "RELU", "LEAKY_RELU", "SILU")
 
@@ -110,13 +112,8 @@ def _mm_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+    acc_ref[:] += dot_i8(
+        x_ref[:], w_ref[:])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -196,13 +193,8 @@ def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
     out_ref = refs[2 * n_parts + 2 + int(has_res)]
 
     def dot(i):
-        return jax.lax.dot_general(
-            xs[i][:], ws[i][:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+        return dot_i8(
+            xs[i][:], ws[i][:])
 
     if same_scale:
         acc = dot(0)
@@ -378,14 +370,8 @@ def _halo_kernel(*refs, kh: int, qw: int, s: int, tile_h: int, ow: int,
         qy, py = divmod(dy, s)
         for qx in range(qw):
             sl = slab[qy:qy + tile_h, py, qx:qx + ow, :]   # [tile_h, ow, Cq]
-            p = jax.lax.dot_general(
-                sl.reshape(tile_h * ow, cq), w_ref[dy * qw + qx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+            p = dot_i8(
+                sl.reshape(tile_h * ow, cq), w_ref[dy * qw + qx])
             acc = p if acc is None else acc + p
     res = res_ref[0].reshape(tile_h * ow, -1) if has_res else None
     q = _epilogue(acc, bias_ref[:], cs_ref[:],
@@ -547,13 +533,8 @@ def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
     acc = None
     for i, z in enumerate((y0, m1.astype(jnp.int8),
                            m2.astype(jnp.int8), m3.astype(jnp.int8))):
-        d = jax.lax.dot_general(
-            z.reshape(h * w, cq), w_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+        d = dot_i8(
+            z.reshape(h * w, cq), w_ref[i])
         acc = d if acc is None else acc + d
     q = _epilogue(acc, bias_ref[:], cs_ref[:], act=act,
                   inv_out=inv_out, alpha=alpha)
@@ -703,14 +684,8 @@ def _halo_kernel_dma(x_any, w_ref, bias_ref, cs_ref, out_ref, *,
                 qy, py = divmod(dy, s)
                 for qx in range(qw):
                     t_ = sl[qy:qy + tile_h, py, qx:qx + ow, :]
-                    p = jax.lax.dot_general(
-                        t_.reshape(tile_h * ow, cq), w_ref[dy * qw + qx],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+                    p = dot_i8(
+                        t_.reshape(tile_h * ow, cq), w_ref[dy * qw + qx])
                     acc = p if acc is None else acc + p
             q = _epilogue(acc, bias_ref[:], cs_ref[:],
                           act=act, inv_out=inv_out, alpha=alpha)

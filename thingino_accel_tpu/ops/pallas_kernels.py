@@ -40,6 +40,18 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def dot_i8(a, b, dims=(((1,), (0,)), ((), ()))):
+    """int8 x int8 -> int32 dot for Mosaic kernels.
+
+    Pins Precision.DEFAULT: a global jax_default_matmul_precision of
+    'highest' would annotate fp32 contract precision on int8 tpu.matmul,
+    which Mosaic rejects ("Bad lhs type"). Every int8 dot in a pallas
+    kernel must go through here."""
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
 def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
@@ -58,13 +70,8 @@ def _mm_requant_kernel(x_ref, w_ref, bias_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+    acc_ref[:] += dot_i8(
+        x_ref[:], w_ref[:])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -161,14 +168,8 @@ def _halo_kernel(x_ref, w_ref, bias_ref, out_ref, *,
                 (dy + (tile_h - 1) * stride + 1,
                  dx + (ow - 1) * stride + 1, c),
                 (stride, stride, 1))                     # [tile_h, ow, C]
-            p = jax.lax.dot_general(
-                sl.reshape(tile_h * ow, c), w_ref[dy * kw + dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+            p = dot_i8(
+                sl.reshape(tile_h * ow, c), w_ref[dy * kw + dx])
             acc = p if acc is None else acc + p
     acc = acc + bias_ref[:].astype(jnp.int32)
     scaled = acc.astype(jnp.float32) * jnp.float32(combined_scale)
@@ -337,13 +338,8 @@ def _tapconv_kernel(x_ref, w_ref, bias_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[0], w_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-                # pin DEFAULT: a global jax_default_matmul_precision
-                # of 'highest' annotates fp32 contract precision on
-                # int8 matmuls, which Mosaic rejects (Bad lhs type)
-                precision=jax.lax.Precision.DEFAULT)
+    acc_ref[:] += dot_i8(
+        x_ref[0], w_ref[0])
 
     @pl.when(s == n_steps - 1)
     def _():

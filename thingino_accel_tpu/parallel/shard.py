@@ -22,16 +22,22 @@ from thingino_accel_tpu.parallel.mesh import (
 )
 
 
+def _shard_engine_params(engine, mesh: Mesh):
+    """(sharding rules, device_put params) for an engine — rules only
+    read shapes, so no host copy of the weights is needed."""
+    rules = param_sharding_rules(engine.params, mesh)
+    sharded = {
+        k: jax.device_put(v, rules[k]) for k, v in engine.params.items()}
+    return rules, sharded
+
+
 def make_sharded_forward(engine, mesh: Mesh):
     """jit the engine's graph body with dp-batch + tp-channel shardings.
 
     Returns ``(fn, sharded_params)``; call ``fn(sharded_params, inputs)``
     with inputs whose leading batch dim is divisible by mesh 'dp'.
     """
-    np_params = {k: np.asarray(v) for k, v in engine.params.items()}
-    rules = param_sharding_rules(np_params, mesh)
-    sharded_params = {
-        k: jax.device_put(v, rules[k]) for k, v in engine.params.items()}
+    rules, sharded_params = _shard_engine_params(engine, mesh)
     xsh = batch_sharding(mesh)
     body = engine._fn if not hasattr(engine._fn, "__wrapped__") else engine._fn
 
@@ -110,10 +116,7 @@ def make_sharded_detector(engine, mesh: Mesh, *,
     """
     from thingino_accel_tpu.models import yolo
 
-    np_params = {k: np.asarray(v) for k, v in engine.params.items()}
-    rules = param_sharding_rules(np_params, mesh)
-    sharded_params = {
-        k: jax.device_put(v, rules[k]) for k, v in engine.params.items()}
+    rules, sharded_params = _shard_engine_params(engine, mesh)
     xsh = batch_sharding(mesh)
     body = engine._fn
 
@@ -121,18 +124,29 @@ def make_sharded_detector(engine, mesh: Mesh, *,
     out_names = list(engine.graph.outputs)
     in_t = engine.graph.tensors[in_name]
     in_hw = (in_t.shape[1], in_t.shape[2])
-    quant_out = any(
-        np.issubdtype(engine.graph.tensors[o].dtype, np.signedinteger)
-        for o in out_names)
-    scales = ([engine.graph.tensors[o].quant.scale for o in out_names]
-              if quant_out else None)
+    # per-head dequant scale (None for float heads — mixed graphs after
+    # partial dequantization keep int8 only on some outputs)
+    scales = [
+        engine.graph.tensors[o].quant.scale
+        if np.issubdtype(engine.graph.tensors[o].dtype, np.signedinteger)
+        else None
+        for o in out_names]
+    if all(s is None for s in scales):
+        scales = None
+    # anchor decode shape follows the head channels: ch = 3*(5+nc)
+    head_ch = engine.graph.tensors[out_names[0]].shape[3]
+    num_classes = head_ch // 3 - 5
+    assert head_ch == 3 * (5 + num_classes), (
+        f"head channels {head_ch} are not 3*(5+nc) — "
+        "make_sharded_detector expects yolov5-anchor heads")
 
     def pipeline(params, frames_u8):
         lb = yolo.letterbox_uint8(frames_u8, in_hw)
         x = yolo.quantize_input_int8(lb)
         feats = body(params, {in_name: x})
         heads = [feats[k] for k in out_names]
-        boxes, conf, cls = yolo.decode_and_parse(heads, scales=scales)
+        boxes, conf, cls = yolo.decode_and_parse(
+            heads, scales=scales, num_classes=num_classes)
         dets = yolo.nms_batched(boxes, conf, cls, max_dets=max_dets,
                                 conf_thresh=conf_thresh,
                                 iou_thresh=iou_thresh)

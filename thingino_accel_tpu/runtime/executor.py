@@ -200,7 +200,7 @@ def _conv_fold_eligible(node: Node, tensors) -> bool:
     return True
 
 
-def _plan_folds(nodes, tensors, graph_outputs=()) -> _FoldPlan:
+def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
     plan = _FoldPlan()
 
     # stem-stage membership: a fold-eligible conv is kept on the XLA
@@ -319,7 +319,7 @@ def _plan_folds(nodes, tensors, graph_outputs=()) -> _FoldPlan:
 
 
 def _plan_epilogue_fusions(nodes, tensors, plan, consumers,
-                           graph_outputs=frozenset()) -> None:
+                           graph_outputs) -> None:
     """Pattern-match fusions that run inside a conv kernel's epilogue:
 
     - residual add: ``ADD(conv_out, r)`` where the conv's output has no
