@@ -51,6 +51,14 @@ def reference_model(name: str) -> str:
 
 
 @pytest.fixture
+def highest_precision():
+    """f32 torch-parity tests: TPU default matmuls run bf16 passes;
+    scope HIGHEST matmul precision to these tests only."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
+@pytest.fixture
 def rng():
     return np.random.default_rng(1234)
 

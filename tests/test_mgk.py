@@ -18,15 +18,6 @@ needs_aec = pytest.mark.skipif(
 
 
 @needs_aec
-@pytest.fixture
-def highest_precision():
-    """f32-parity tests vs torch CPU: TPU default matmuls run bf16
-    passes; scope HIGHEST to these tests only (a global override would
-    validate the fast tier under a config production never uses)."""
-    with jax.default_matmul_precision("highest"):
-        yield
-
-
 def test_parse_elf_sections():
     elf, meta = mgk.load_mgk(AEC_PATH)
     assert ".text" in elf.sections

@@ -20,7 +20,7 @@ def run_engine(g, feed):
     return eng.run_np(**feed)
 
 
-def test_conv_relu_vs_torch(rng):
+def test_conv_relu_vs_torch(rng, highest_precision):
     w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
     b = rng.normal(size=(8,)).astype(np.float32)
     m = W.build_model(
@@ -43,7 +43,7 @@ def test_conv_relu_vs_torch(rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_batchnorm_fold_vs_torch(rng):
+def test_batchnorm_fold_vs_torch(rng, highest_precision):
     c = 6
     w = rng.normal(size=(c, 3, 1, 1)).astype(np.float32)
     gamma = rng.uniform(0.5, 2, c).astype(np.float32)
@@ -77,7 +77,7 @@ def test_batchnorm_fold_vs_torch(rng):
                                rtol=1e-3, atol=1e-4)
 
 
-def test_gru_vs_torch(rng):
+def test_gru_vs_torch(rng, highest_precision):
     t_len, b_sz, c, h = 5, 2, 4, 3
     w = rng.normal(size=(1, 3 * h, c)).astype(np.float32)
     r = rng.normal(size=(1, 3 * h, h)).astype(np.float32)
@@ -114,7 +114,7 @@ def test_gru_vs_torch(rng):
                                atol=1e-5)
 
 
-def test_conv1d_and_transpose_vs_torch(rng):
+def test_conv1d_and_transpose_vs_torch(rng, highest_precision):
     c_in, c_out, ln = 4, 6, 10
     w = rng.normal(size=(c_out, c_in, 2)).astype(np.float32)
     wt = rng.normal(size=(c_out, c_in, 2)).astype(np.float32)  # CT: [I,O,K]
@@ -159,7 +159,7 @@ def test_split_slice_pow(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
-def test_flatten_gemm_vs_torch(rng):
+def test_flatten_gemm_vs_torch(rng, highest_precision):
     """Rank-changing Flatten over an NHWC buffer must preserve ONNX's
     NCHW element order (the Gemm weights index it that way)."""
     w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
