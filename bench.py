@@ -10,7 +10,8 @@ Env knobs:
   TAT_BENCH_BATCH   batch size (default 128)
   TAT_BENCH_ITERS   timed iterations per measurement (default 30)
   TAT_BENCH_MODEL   yolov5 size letter (default "s")
-  TAT_BENCH_EXACT   1 = bit-exact int8 tier instead of the fast tier
+  TAT_BENCH_TIER    "fast" (default) | "serving" | "exact"
+  TAT_BENCH_EXACT   1 = alias for TAT_BENCH_TIER=exact
   TAT_BENCH_F32ACC  1 = f32 conv accumulation (default bf16)
   TAT_BENCH_MARS    path to a real .mars model to run through the same
                     pipeline (e.g. models/yolov5n_cal_int8.mars)
@@ -51,7 +52,9 @@ def build_pipeline(batch: int, size: str):
     else:
         cfg = zoo.ZooConfig(dtype="int8", in_hw=(640, 640))
         graph = zoo.build_yolov5(size, cfg)
-    precision = "exact" if os.environ.get("TAT_BENCH_EXACT") == "1" else "fast"
+    precision = os.environ.get("TAT_BENCH_TIER", "fast")
+    if os.environ.get("TAT_BENCH_EXACT") == "1":
+        precision = "exact"
     accum = (None if os.environ.get("TAT_BENCH_F32ACC") == "1"
              else jnp.bfloat16)   # bf16 accumulation: +~15% (docs/KERNELS.md)
     # fast tier: keep head outputs in bf16 (quantize_outputs=False) —
@@ -132,6 +135,11 @@ def main() -> None:
 
     model_tag = (os.path.basename(os.environ["TAT_BENCH_MARS"])
                  if os.environ.get("TAT_BENCH_MARS") else f"yolov5{size}")
+    tier = os.environ.get("TAT_BENCH_TIER", "fast")
+    if os.environ.get("TAT_BENCH_EXACT") == "1":
+        tier = "exact"
+    if tier != "fast":
+        model_tag += f"[{tier}]"
     result = {
         "metric": f"{model_tag}-int8@640 e2e frames/sec/chip "
                   f"(decode+NMS incl., batch {best_batch})",
