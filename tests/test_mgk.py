@@ -251,6 +251,6 @@ def test_mine_tensor_info_and_patterns():
                for n in named)
     # kind classification covers the fused-name families
     assert mgk.classify_layer_name("ptq_model_conv_5_Quantize") \
-        .startswith(("Conv", "QuantizedLayer", "Unknown")) or True
+        .startswith(("Conv", "QuantizedLayer"))
     assert mgk.classify_layer_name("layer_46_QuantizeGRU") == "GRU"
     assert mgk.classify_layer_name("123_output_last_layer") == "Output"

@@ -98,9 +98,20 @@ def stft(x: jax.Array) -> jax.Array:
 
 def istft_ri(re: jax.Array, im: jax.Array,
              n_samples: Optional[int] = None) -> jax.Array:
-    """(re, im) [B, FREQ_BINS, T] -> [B, samples] via matmul iDFT +
-    overlap-add. Complex-free (TPU-servable)."""
+    """(re, im) [B, f<=FREQ_BINS, T] -> [B, samples] via matmul iDFT +
+    overlap-add. Complex-free (TPU-servable). Inputs with fewer than
+    FREQ_BINS rows are zero-padded to the full spectrum (the irfft
+    path's old contract)."""
     b, f, t = re.shape
+    if f == FREQ_BINS + 1:
+        # full 257-bin rfft: the synthesis covers bins 0..255 (the
+        # model never emits the nyquist bin) — drop it
+        re, im = re[:, :FREQ_BINS], im[:, :FREQ_BINS]
+    elif f < FREQ_BINS:
+        re = jnp.pad(re, ((0, 0), (0, FREQ_BINS - f), (0, 0)))
+        im = jnp.pad(im, ((0, 0), (0, FREQ_BINS - f), (0, 0)))
+    elif f > FREQ_BINS:
+        raise ValueError(f"istft_ri expects <= {FREQ_BINS + 1} bins, got {f}")
     icm, ism = _idft_mats()
     hi = jax.lax.Precision.HIGHEST
     frames = (jnp.einsum("bft,fn->btn", re, icm, precision=hi)

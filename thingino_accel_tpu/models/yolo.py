@@ -348,7 +348,11 @@ def detect_postprocess_topk(
     for i, feat in enumerate(feats):
         b, h, w, ch = feat.shape
         x = feat.reshape(b, h * w * a, 5 + num_classes)
-        sc = jnp.float32(scales[i]) if scales is not None else jnp.float32(1)
+        # per-head None entries mean a float head (mixed int8/float
+        # graphs, e.g. make_sharded_detector) -> scale 1
+        sc = (jnp.float32(scales[i])
+              if scales is not None and scales[i] is not None
+              else jnp.float32(1))
         obj = jax.nn.sigmoid(x[..., 4].astype(jnp.float32) * sc)
         best = jnp.max(x[..., 5:], axis=-1).astype(jnp.float32) * sc
         confs.append(obj * jax.nn.sigmoid(best))
@@ -368,7 +372,8 @@ def detect_postprocess_topk(
     lvl_scale = None
     if scales is not None:
         lvl_scale = jnp.concatenate([
-            jnp.full((f.shape[1] * f.shape[2] * a,), jnp.float32(s))
+            jnp.full((f.shape[1] * f.shape[2] * a,),
+                     jnp.float32(s if s is not None else 1.0))
             for f, s in zip(feats, scales)])
 
     def one(conf_i, cls_i, raw_i):

@@ -1115,7 +1115,8 @@ def conv2d_int8_stem_fused(
 
     int8 values are exactly representable in bf16 (|v| <= 127 < 2^8),
     MXU bf16 products are exact in the f32 accumulator, and partial
-    sums stay < 2^24 whenever K*K*C <= 1040 — so
+    sums stay < 2^24 whenever K*K*C <= 1024 (worst case |x|=|w|=128:
+    K*K*C*128*128 < 2^24) — so
     ``conv(bf16, bf16) -> f32`` reproduces the int32 accumulator bit
     for bit, while XLA picks thin-channel layouts that avoid the
     (8,128) int8 tiling blowup (42x HBM padding for C=3).
@@ -1128,8 +1129,8 @@ def conv2d_int8_stem_fused(
     happens once, at the stage exit, on the smallest tensor.
     """
     kh, kw, cin, o = w_hwio.shape
-    assert kh * kw * cin <= 1040, (
-        "bf16-exact stem path needs K*K*C <= 1040 for exact f32 "
+    assert kh * kw * cin <= 1024, (
+        "bf16-exact stem path needs K*K*C <= 1024 for exact f32 "
         f"accumulation; got {kh}x{kw}x{cin}")
     accf = jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), w_hwio.astype(jnp.bfloat16),
@@ -1204,7 +1205,7 @@ def conv2d_int8_fused(
     if stride[0] != stride[1]:
         raise ValueError("fused conv needs square stride")
     if c < 16:
-        if kh * kw * c <= 1040:   # bf16-exact f32-accumulation bound
+        if kh * kw * c <= 1024:   # bf16-exact f32-accumulation bound
             return conv2d_int8_stem_fused(
                 x, w_hwio, bias, out_hw, stride, pads,
                 in_scale, w_scale, out_scale, act, alpha)

@@ -40,9 +40,14 @@ class EngineOptions(ExecOptions):
       through the fused pallas kernels (``ops.fused_kernels``):
       activations fold into the conv requantize epilogue
       (``ir.passes.fuse_act_into_conv``), so each conv costs one int8
-      HBM read + one int8 write. Same integer semantics as "exact" for
-      linear/RELU convs; SiLU/Leaky are applied on the f32
-      pre-activation (one fewer intermediate quantization).
+      HBM read + one int8 write. Linear/RELU convs use the same
+      combined-scale requant math as "exact", but fused chains skip
+      intermediate quantizations: SiLU/Leaky run on the f32
+      pre-activation, and fused conv->ADD chains skip the conv
+      output's own requant AND its int8 clamp — if the conv output
+      would saturate at its own out_scale on the exact tier, the
+      serving tier can diverge by more than one quantum (by design:
+      fewer quantizations is closer to the f32 oracle, ACCURACY.md).
     """
 
     nchw_io: bool = False       # accept/return NCHW (the .mars declared layout)

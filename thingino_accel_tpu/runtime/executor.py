@@ -206,7 +206,7 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
     # stem-stage membership: a fold-eligible conv is kept on the XLA
     # bf16-exact path when its input channels are thin — either the
     # graph-input stem (cin < 16) or a conv consuming a stage conv's
-    # qbf16 output with cin < 48 (K*K*C <= 1040 keeps f32 accumulation
+    # qbf16 output with cin < 48 (K*K*C <= 1024 keeps f32 accumulation
     # exact). It emits qbf16 iff every consumer of its output is also a
     # stage conv; the last stage conv emits folded int8.
     consumers: Dict[str, list] = {}
@@ -221,7 +221,7 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
         k = a.get("kernel", (1, 1))
         cin = tensors[node.inputs[0]].shape[3]
         act = a.get("activation", "NONE")
-        return (cin < cin_limit and k[0] * k[1] * cin <= 1040
+        return (cin < cin_limit and k[0] * k[1] * cin <= 1024
                 and act in ("NONE", "RELU", "LEAKY_RELU", "SILU"))
 
     stage = {n.outputs[0] for n in nodes if stage_eligible(n, 16)}
@@ -430,9 +430,13 @@ def _plan_epilogue_fusions(nodes, tensors, plan, consumers,
                 {id(c) for c in consumers.get(m.outputs[0], [])}
                 <= {id(node)} | {id(x) for x in ms if x is not None}
                 for m in ms)
+            # the conv's int32 bias is quantized in units
+            # scale(concat_out) * w_scale, but the fused kernel is
+            # invoked with in_scale = scale(p_src): the concat OUTPUT
+            # scale must match the inputs' too
             scales_eq = pool_only and all(
                 abs(tensors[i].quant.scale - tensors[ins[0]].quant.scale)
-                < 1e-12 for i in ins)
+                < 1e-12 for i in list(ins) + [out])
             if pool_only and clean and scales_eq:
                 plan.sppf[out] = (ins[0], k0[0])
                 for m, src_nm in zip(ms, chain_src):
@@ -549,7 +553,7 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
             (in_t.shape[1], in_t.shape[2]), out_hw, a["kernel"],
             a["stride"], a["dilation"], a["padding"], a["explicit_pad"])
         k2c = a["kernel"][0] * a["kernel"][1] * cin
-        if (out_name in plan.stem_stage or cin < 16) and k2c <= 1040:
+        if (out_name in plan.stem_stage or cin < 16) and k2c <= 1024:
             emit = plan.stem_emit.get(out_name, "int8")
             if node.inputs[0] in plan.qbf16_env:
                 x = env[node.inputs[0]]     # integer values as bf16
