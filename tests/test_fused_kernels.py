@@ -399,3 +399,80 @@ def test_matmul_multi_mixed_scales_with_bias(rng):
     ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.parametrize("f,c,c_,shortcut,act", [
+    (1, 128, 64, True, "SILU"),     # yolov5 80x80-level bottleneck
+    (2, 64, 32, True, "SILU"),      # 160x160-level (folded x2)
+    (1, 64, 64, False, "RELU"),     # no shortcut, unpadded m lanes
+    (1, 32, 16, True, "LEAKY_RELU"),
+])
+def test_bottleneck_fused_vs_oracle(rng, f, c, c_, shortcut, act):
+    """Fused 1x1 -> 3x3 (+residual) == the two-conv + add oracle with
+    serving-tier semantics (one intermediate quantization at m)."""
+    h, w = 8, 8 * f
+    o = c
+    x = rng.integers(-100, 100, (2, h, w, c), dtype=np.int8)
+    w1 = rng.integers(-64, 64, (1, 1, c, c_), dtype=np.int8)
+    b1 = rng.integers(-500, 500, (c_,), dtype=np.int32)
+    w2 = rng.integers(-64, 64, (3, 3, c_, o), dtype=np.int8)
+    b2 = rng.integers(-500, 500, (o,), dtype=np.int32)
+    in_s, w1s, m_s, w2s, out_s = 0.04, 0.02, 0.06, 0.015, 0.09
+    ws1 = rng.uniform(0.005, 0.03, c_).astype(np.float32)  # per-channel
+
+    got_f = FK.bottleneck_int8_fused(
+        jnp.asarray(_fold_np(x, f)), jnp.asarray(w1), jnp.asarray(b1),
+        ws1, m_s, jnp.asarray(w2), jnp.asarray(b2), w2s, out_s,
+        in_s, (h, w), f=f, act1=act, act2=act, shortcut=shortcut)
+    got = np.asarray(FK.unfold_layout(got_f, f, o))
+
+    # oracle: conv1x1 -> epilogue -> conv3x3 -> epilogue(+res)
+    acc1 = _conv_acc(x, w1, (1, 1), ((0, 0), (0, 0)))
+    m = _oracle(acc1, b1, in_s, ws1, m_s, act)
+    acc2 = _conv_acc(m, w2, (1, 1), ((1, 1), (1, 1)))
+    # mirror _epilogue's scale folding exactly: NONE/RELU fold /out_s
+    # into the combined scale (single multiply, inv_out = 1)
+    if act in ("NONE", "RELU"):
+        cs2 = np.float32(m_s) * np.float32(w2s) / np.float32(out_s)
+        inv2, rs = np.float32(1.0), np.float32(in_s) / np.float32(out_s)
+    else:
+        cs2 = np.float32(m_s) * np.float32(w2s)
+        inv2 = np.float32(1.0 / np.float32(out_s))
+        rs = np.float32(in_s)
+    accf = (acc2 + b2).astype(np.float32) * cs2
+    if act == "RELU":
+        pre = np.maximum(accf, 0.0)
+    elif act == "LEAKY_RELU":
+        pre = np.where(accf >= 0, accf, np.float32(0.01) * accf)
+    else:
+        pre = accf * (1.0 / (1.0 + np.exp(-accf.astype(np.float64)))
+                      ).astype(np.float32)
+    if shortcut:
+        pre = pre + x.astype(np.float32) * rs
+    scaled = pre * inv2
+    sh = scaled + np.where(scaled >= 0, np.float32(0.5), np.float32(-0.5))
+    ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    tol = 0 if act == "RELU" else 1   # transcendental 1-ulp round flips
+    assert diff.max() <= tol, (f, c, c_, act, diff.max())
+
+
+def test_bottleneck_fused_lane_padded_parts(rng):
+    """x arrives lane-padded (producer keep_phys): parts metadata must
+    route the pad channels to zero weight rows."""
+    f, c, c_, o = 1, 96, 48, 96
+    h = w = 8
+    x = rng.integers(-100, 100, (1, h, w, c), dtype=np.int8)
+    xp = np.pad(x, ((0, 0), (0, 0), (0, 0), (0, 32)))   # phys 128
+    w1 = rng.integers(-64, 64, (1, 1, c, c_), dtype=np.int8)
+    w2 = rng.integers(-64, 64, (3, 3, c_, o), dtype=np.int8)
+    in_s, w1s, m_s, w2s, out_s = 0.04, 0.02, 0.06, 0.015, 0.09
+    got = np.asarray(FK.bottleneck_int8_fused(
+        jnp.asarray(xp), jnp.asarray(w1), None, w1s, m_s,
+        jnp.asarray(w2), None, w2s, out_s, in_s, (h, w), f=f,
+        parts=(c, -32), act1="RELU", act2="RELU", shortcut=False))
+    acc1 = _conv_acc(x, w1, (1, 1), ((0, 0), (0, 0)))
+    m = _oracle(acc1, None, in_s, w1s, m_s, "RELU")
+    acc2 = _conv_acc(m, w2, (1, 1), ((1, 1), (1, 1)))
+    ref = _oracle(acc2, None, m_s, w2s, out_s, "RELU")
+    np.testing.assert_array_equal(got[..., :o], ref)

@@ -234,3 +234,85 @@ def test_random_relu_graphs_serving_close_to_exact(rng):
         for k in oe:
             d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
             assert d.max() <= 1, (seed, k, d.max(), d.mean())
+
+
+def _bneck_graph(act: str, c: int = 32, hw: int = 16, shortcut=True,
+                 extra_consumer=False):
+    """x -> conv16(3x3/1) -> [1x1 -> 3x3 (+x)] C3-style bottleneck."""
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(hw, hw))
+    b = zoo.GraphBuilder("bneck", cfg)
+    x0 = b.input("input", (1, hw, hw, 16))
+    x = b.conv(x0, c, 3, 1, act=act)
+    m = b.conv(x, c // 2, 1, 1, act=act)
+    y = b.conv(m, c, 3, 1, act=act)
+    outs = []
+    if extra_consumer:
+        outs.append(b.conv(m, 16, 1, 1, act=act))
+    if shortcut:
+        y = b.add(x, y)
+    return b.finish([y] + outs)
+
+
+@pytest.mark.parametrize("act,shortcut", [
+    ("RELU", True), ("RELU", False),
+])
+def test_bottleneck_fusion_matches_exact(rng, act, shortcut):
+    """The fused 1x1->3x3 bottleneck pair stays within one quantum of
+    the exact tier on linear graphs."""
+    g = _bneck_graph(act, shortcut=shortcut)
+    g2 = fuse_act_into_conv(g)
+    plan = _plan_folds(list(g2.nodes), g2.tensors, g2.outputs)
+    assert plan.bneck, "bottleneck pair not planned"
+    x = rng.integers(-100, 100, (1, 16, 16, 16), dtype=np.int8)
+    oe = Engine(g, EngineOptions(precision="exact")).run_np(x)
+    os_ = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    tol = 1
+    for k in oe:
+        d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
+        assert d.max() <= tol, (act, k, d.max())
+
+
+def test_bottleneck_fusion_bitwise_equals_pairwise(rng):
+    """The fused pair must be BIT-IDENTICAL to the pairwise serving
+    path (same two quantizations, same epilogue math) — SiLU included."""
+    from thingino_accel_tpu.runtime import executor as EX
+    g = _bneck_graph("SILU", shortcut=True)
+    x = rng.integers(-100, 100, (1, 16, 16, 16), dtype=np.int8)
+    got = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    orig = EX._plan_folds
+
+    def no_bneck(nodes, tensors, outs):
+        p = orig(nodes, tensors, outs)
+        p.bneck = {}
+        return p
+
+    EX._plan_folds = no_bneck
+    try:
+        ref = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    finally:
+        EX._plan_folds = orig
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k])
+
+
+def test_bottleneck_not_fused_with_extra_consumer(rng):
+    """An intermediate with a second consumer must NOT be deferred."""
+    g = _bneck_graph("RELU", extra_consumer=True)
+    g2 = fuse_act_into_conv(g)
+    plan = _plan_folds(list(g2.nodes), g2.tensors, g2.outputs)
+    assert not plan.bneck
+    x = rng.integers(-100, 100, (1, 16, 16, 16), dtype=np.int8)
+    oe = Engine(g, EngineOptions(precision="exact")).run_np(x)
+    os_ = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    for k in oe:
+        d = np.abs(oe[k].astype(np.int32) - os_[k].astype(np.int32))
+        assert d.max() <= 1, (k, d.max())
+
+
+def test_bottleneck_fused_on_yolov5s_plan():
+    g = zoo.build_yolov5("s", zoo.ZooConfig(dtype="int8",
+                                            in_hw=(640, 640)))
+    g = fuse_act_into_conv(g)
+    plan = _plan_folds(list(g.nodes), g.tensors, g.outputs)
+    # yolov5s has 8 backbone (shortcut) + 5 head (plain) bottlenecks
+    assert len(plan.bneck) >= 8, len(plan.bneck)

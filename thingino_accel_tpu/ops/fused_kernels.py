@@ -128,15 +128,23 @@ def matmul_int8_fused(
     in_scale: float, w_scale, out_scale: float,
     act: str = "NONE",
     alpha: float = 0.01,
-    block_m: int = 512,
+    block_m: Optional[int] = None,
     block_n: int = 256,
     block_k: int = 512,
     keep_phys: bool = False,
 ) -> jax.Array:
     """``int8 = requant(act((x@w + b) * s))`` with per-channel ``w_scale``
-    support; accumulator resident in VMEM across the K loop."""
+    support; accumulator resident in VMEM across the K loop.
+
+    ``block_m`` defaults adaptively: serving-batch 1x1 convs reach
+    M ~ 1.6M rows, where per-grid-cell overhead (~0.5 us/cell) dwarfs
+    the memory-bound dots — bigger M-tiles cut the cell count (measured
+    14-22 -> ~6 us/frame per 160x160 1x1 at batch 128)."""
     m, k = x.shape
     _, n = w.shape
+    if block_m is None:
+        block_m = 512 if m < (1 << 17) else \
+            2048 if m < (1 << 19) else 4096
     mp, np_, kp = _round_up(m, 32), _round_up(n, 128), _round_up(k, 128)
     block_m = min(_round_up(block_m, 8), mp)
     block_n = min(_round_up(block_n, 128), np_)
@@ -242,7 +250,7 @@ def matmul_int8_fused_multi(
     residual: Optional[jax.Array] = None,   # [M, >=N] int8
     res_scale: float = 1.0,
     bias_scale: Optional[float] = None,     # bias units (default s_0)
-    block_m: int = 512,
+    block_m: Optional[int] = None,
     block_n: int = 256,
     keep_phys: bool = False,
 ) -> jax.Array:
@@ -255,6 +263,9 @@ def matmul_int8_fused_multi(
     n = ws[0].shape[1]
     n_parts = len(xs)
     assert len(ws) == n_parts and len(in_scales) == n_parts
+    if block_m is None:
+        block_m = 512 if m < (1 << 17) else \
+            2048 if m < (1 << 19) else 4096
     mp, np_ = _round_up(m, 32), _round_up(n, 128)
     block_m = min(_round_up(block_m, 8), mp)
     block_n = min(_round_up(block_n, 128), np_)
@@ -986,6 +997,191 @@ def fold_layout(x: jax.Array, f: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Fused C3 bottleneck: 1x1 conv -> KxK conv (+ residual) in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The C3 bottleneck (``y = x + act(convKxK(act(conv1x1(x))))``, the
+# dominant repeated block of the YOLO trunk) currently costs two pallas
+# calls with the intermediate ``m`` round-tripping HBM (write + read)
+# plus a halo ``jnp.pad`` between them. This kernel keeps ``m``
+# entirely in VMEM: each grid cell computes the 1x1 over its row-tile
+# *plus the KxK halo rows* (2 extra rows of recompute per tile), masks
+# the out-of-image positions to the quantized zero, runs the KxK taps
+# on the in-register value, and applies the second epilogue (+ fused
+# residual = the slab's own center rows). HBM traffic per bottleneck
+# drops from (read x, write m, read m, read x-as-residual, write y) to
+# (read x, write y). The reference's moral analog is the per-pixel
+# im2col staging buffer that never leaves the stack
+# (``src/mars/mxu_conv.c:254-407``).
+
+
+def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
+                  cs2_ref, out_ref, *,
+                  k: int, qw2: int, q_shift: int, tile_h: int, ow_g: int,
+                  oh_img: int, wg_img: int,
+                  act1: str, inv1: float, alpha1: float,
+                  act2: str, inv2: float, alpha2: float,
+                  has_res: bool, res_scale: float):
+    ti = pl.program_id(1)
+    hh = (k - 1) // 2
+    slab = x_ref[0]                       # [halo_rows, wq_tot, cp]
+    halo_rows, wq_tot, cp = slab.shape
+    cm = w1_ref.shape[-1]                 # padded m lanes
+
+    # 1x1 over the full slab extent (incl. pad rows/cols: masked below)
+    acc1 = dot_i8(slab.reshape(halo_rows * wq_tot, cp), w1_ref[0])
+    m = _epilogue(acc1, b1_ref[:], cs1_ref[:],
+                  act=act1, inv_out=inv1, alpha=alpha1)
+    m = m.reshape(halo_rows, wq_tot, cm)
+    # out-of-image positions must be the quantized ZERO (the KxK pad
+    # semantics), not epilogue(bias): mask by image coordinates
+    r_img = (jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+             + (ti * tile_h - hh))
+    c_grp = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    valid = ((r_img >= 0) & (r_img < oh_img)
+             & (c_grp >= q_shift) & (c_grp < q_shift + wg_img))
+    m = jnp.where(valid, m, jnp.int8(0))
+
+    acc = None
+    for dy in range(k):
+        for qx in range(qw2):
+            t_ = m[dy:dy + tile_h, qx:qx + ow_g, :]
+            p = dot_i8(t_.reshape(tile_h * ow_g, cm),
+                       w2_ref[dy * qw2 + qx])
+            acc = p if acc is None else acc + p
+    res = None
+    if has_res:
+        res = slab[hh:hh + tile_h, q_shift:q_shift + ow_g, :] \
+            .reshape(tile_h * ow_g, cp)
+    q = _epilogue(acc, b2_ref[:], cs2_ref[:], act=act2, inv_out=inv2,
+                  alpha=alpha2, res=res, res_scale=res_scale)
+    out_ref[:] = q.reshape(1, tile_h, ow_g, -1)
+
+
+def bottleneck_int8_fused(
+    x_folded: jax.Array,          # [N, H, Wg, gC(+pad)] int8, fold f
+    w1_hwio: jax.Array,           # [1, 1, C, c_] int8
+    b1: Optional[jax.Array],      # [c_] int32 (units in_scale*w1_scale)
+    w1_scale, m_scale: float,     # intermediate tensor's quant scale
+    w2_hwio: jax.Array,           # [K, K, c_, O] int8 (K odd, stride 1)
+    b2: Optional[jax.Array],      # [O] int32 (units m_scale*w2_scale)
+    w2_scale, out_scale: float,
+    in_scale: float,
+    logical_hw: Tuple[int, int],  # (H, W) logical — output == input hw
+    f: int = 1,
+    parts: Optional[Tuple[int, ...]] = None,
+    act1: str = "SILU", act2: str = "SILU",
+    alpha1: float = 0.01, alpha2: float = 0.01,
+    shortcut: bool = False,       # fuse ``+ x`` into the 2nd epilogue
+    tile_h: Optional[int] = None,
+    keep_phys: bool = False,
+) -> jax.Array:
+    """Fused ``requant(act2(convKxK(requant(act1(conv1x1(x)))))[+x])``
+    with the intermediate resident in VMEM. SAME padding, stride 1,
+    square odd K. ``out_scale`` is the scale of the bottleneck's OUTPUT
+    tensor (the ADD's output when ``shortcut``), matching the serving
+    tier's fused-residual semantics."""
+    n, h, wg, gc = x_folded.shape
+    k, kw2, c_, o = w2_hwio.shape
+    assert k == kw2 and k % 2 == 1, (k, kw2)
+    oh, ow = logical_hw
+    ow_g = _cdiv(ow, f)
+    assert wg == ow_g, (wg, ow_g)
+    hh = (k - 1) // 2
+    if shortcut:
+        assert o * f <= gc, (o, f, gc)   # residual lanes come from x
+
+    # weights: 1x1 consuming x's folded/padded layout -> m (fold f),
+    # KxK consuming m (fold f) with the left pad baked into the taps
+    w1k, _, _ = repack_weights_folded(w1_hwio, 1, f, 0, parts)
+    cm_log = f * c_
+    cm_p = _round_up(cm_log, 128)
+    cp = _round_up(gc, 128)
+    assert w1k.shape[2] == gc, (w1k.shape, gc)
+    w1m = jnp.pad(jnp.asarray(w1k).reshape(1, gc, cm_log),
+                  ((0, 0), (0, cp - gc), (0, cm_p - cm_log)))
+    w2k, q_shift, qw2 = repack_weights_folded(w2_hwio, 1, f, hh, (c_,))
+    no = f * o
+    op = _round_up(no, 128)
+    w2m = jnp.pad(jnp.asarray(w2k).reshape(k * qw2, cm_log, no),
+                  ((0, 0), (0, cm_p - cm_log), (0, op - no)))
+    if shortcut and cp != op:
+        raise ValueError("fused residual needs matching phys lanes "
+                         f"(x {cp} vs out {op})")
+
+    ws1 = jnp.asarray(w1_scale, jnp.float32)
+    if ws1.ndim == 0:
+        ws1 = jnp.full((c_,), ws1, jnp.float32)
+    b1v = b1 if b1 is not None else jnp.zeros((c_,), jnp.int32)
+    b1r, cs1, inv1 = _scale_rows(jnp.tile(b1v, f), jnp.tile(ws1, f),
+                                 in_scale, m_scale, act1, cm_log, cm_p)
+    ws2 = jnp.asarray(w2_scale, jnp.float32)
+    if ws2.ndim == 0:
+        ws2 = jnp.full((o,), ws2, jnp.float32)
+    b2v = b2 if b2 is not None else jnp.zeros((o,), jnp.int32)
+    b2r, cs2, inv2 = _scale_rows(jnp.tile(b2v, f), jnp.tile(ws2, f),
+                                 m_scale, out_scale, act2, no, op)
+    if act2 in ("NONE", "RELU"):
+        res_scale_eff = float(np.float32(in_scale) / np.float32(out_scale))
+    else:
+        res_scale_eff = float(np.float32(in_scale))
+
+    if tile_h is None:
+        target = min(oh, max(8, 2048 // max(ow_g, 1)))
+        tile_h = target
+        while tile_h > 1 and oh % tile_h:
+            tile_h -= 1
+        if tile_h < min(8, target):
+            tile_h = target
+    tile_h = min(tile_h, oh)
+    n_tiles_h = _cdiv(oh, tile_h)
+    halo_rows = tile_h + k - 1
+
+    # pad: hh rows top, bottom to the last tile's halo; q_shift zero
+    # groups left, right to (ow_g - 1) + qw2 groups; lanes to cp
+    need_rows = (n_tiles_h - 1) * tile_h + halo_rows
+    pad_hb = max(0, need_rows - (h + hh))
+    wq_tot = (ow_g - 1) + qw2
+    pad_wr = max(0, wq_tot - (q_shift + wg))
+    x_p = jnp.pad(x_folded, ((0, 0), (hh, pad_hb),
+                             (q_shift, pad_wr), (0, cp - gc)))
+
+    grid = (n, n_tiles_h)
+    kernel = functools.partial(
+        _bneck_kernel, k=k, qw2=qw2, q_shift=q_shift, tile_h=tile_h,
+        ow_g=ow_g, oh_img=oh, wg_img=wg,
+        act1=act1, inv1=inv1, alpha1=alpha1,
+        act2=act2, inv2=inv2, alpha2=alpha2,
+        has_res=shortcut, res_scale=res_scale_eff)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_PL_ELEMENT(1), _PL_ELEMENT(halo_rows),
+                 _PL_ELEMENT(wq_tot), _PL_ELEMENT(cp)),
+                lambda ni, ti: (ni, ti * tile_h, 0, 0)),
+            pl.BlockSpec((1, cp, cm_p), lambda ni, ti: (0, 0, 0)),
+            pl.BlockSpec((1, cm_p), lambda ni, ti: (0, 0)),
+            pl.BlockSpec((1, cm_p), lambda ni, ti: (0, 0)),
+            pl.BlockSpec((k * qw2, cm_p, op), lambda ni, ti: (0, 0, 0)),
+            pl.BlockSpec((1, op), lambda ni, ti: (0, 0)),
+            pl.BlockSpec((1, op), lambda ni, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, ow_g, op), lambda ni, ti: (ni, ti, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n_tiles_h * tile_h, ow_g, op), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x_p, w1m, b1r, cs1, w2m, b2r, cs2)
+    out = out[:, :oh]
+    if op != no and not keep_phys:
+        out = out[..., :no]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Fused depthwise conv (VPU multiply-accumulate over taps)
 # ---------------------------------------------------------------------------
 
@@ -1141,11 +1337,6 @@ def conv2d_int8_stem_fused(
     ws = jnp.asarray(w_scale, jnp.float32)
     if ws.ndim == 0:
         ws = jnp.full((o,), ws, jnp.float32)
-    if emit != "qbf16" and f_out > 1:
-        # fold on the f32 accumulator, before the int8 write
-        n_, oh_, ow_, _ = accf.shape
-        accf = accf.reshape(n_, oh_, ow_ // f_out, f_out * o)
-        ws = jnp.tile(ws, f_out)
     if act in ("NONE", "RELU"):
         pre = accf * (jnp.float32(in_scale) * ws / jnp.float32(out_scale))
         if act == "RELU":
@@ -1163,7 +1354,16 @@ def conv2d_int8_stem_fused(
     q = jnp.clip(jnp.trunc(shifted), -128, 127)
     if emit == "qbf16":
         return q.astype(jnp.bfloat16)
-    return q.astype(jnp.int8)
+    out = q.astype(jnp.int8)
+    if f_out > 1:
+        # fold AFTER the int8 conversion: the W-fold reshape changes
+        # the lane count (o -> f*o), which is a physical relayout —
+        # doing it on 1-byte data is 4x cheaper than on the f32
+        # accumulator (measured: the f32 copy+reshape+convert chain at
+        # the stage exit cost ~70 us/frame on yolov5s@640 b128)
+        n_, oh_, ow_, _ = out.shape
+        out = out.reshape(n_, oh_, ow_ // f_out, f_out * o)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -171,6 +171,10 @@ class _FoldPlan:
         self.virtual_concat: Dict[str, list] = {}  # concat out ->
         #   input names (never materialized; consumers are 1x1 convs)
         self.sppf: Dict[str, tuple] = {}    # concat out -> (src, k)
+        self.bneck: Dict[str, tuple] = {}   # m name -> (convA, convB):
+        #   1x1 convA -> KxK convB pair fused into one kernel with the
+        #   intermediate m resident in VMEM (the C3 bottleneck)
+        self.bneck_live: set = set()        # m names deferred at runtime
         self.pool_of: Dict[str, tuple] = {}  # skipped maxpool out ->
         #   (predecessor name, k) for on-demand one-level recompute
         self.skip_outputs: set = set()      # nodes folded into a
@@ -443,6 +447,67 @@ def _plan_epilogue_fusions(nodes, tensors, plan, consumers,
                     plan.skip_outputs.add(m.outputs[0])
                     plan.pool_of[m.outputs[0]] = (src_nm, k0[0])
 
+    # fused bottlenecks: 1x1 conv -> KxK conv (+planned residual) pairs
+    # whose intermediate has exactly one consumer run as ONE kernel
+    # with the intermediate in VMEM (ops.fused_kernels.bottleneck_*)
+    for node in nodes:
+        if not _conv_fold_eligible(node, tensors):
+            continue
+        m_name = node.outputs[0]
+        if m_name in graph_outputs or m_name in plan.stem_stage:
+            continue
+        a = node.attrs
+        if a.get("kernel", (1, 1)) != (1, 1) \
+                or a.get("stride", (1, 1)) != (1, 1) \
+                or a.get("activation", "NONE") not in (
+                    "NONE", "RELU", "LEAKY_RELU", "SILU"):
+            continue
+        cons = consumers.get(m_name, [])
+        if len(cons) != 1:
+            continue
+        b = cons[0]
+        if (not _conv_fold_eligible(b, tensors)
+                or b.inputs[0] != m_name
+                or b.outputs[0] in plan.stem_stage):
+            continue
+        ab = b.attrs
+        kb = ab.get("kernel", (1, 1))
+        if (kb[0] != kb[1] or kb[0] % 2 == 0 or kb[0] < 3
+                or ab.get("stride", (1, 1)) != (1, 1)
+                or ab.get("activation", "NONE") not in (
+                    "NONE", "RELU", "LEAKY_RELU", "SILU")):
+            continue
+        x_nm = node.inputs[0]
+        t_x, t_m, t_o = tensors[x_nm], tensors[m_name], \
+            tensors[b.outputs[0]]
+        if not (len(t_x.shape) == 4
+                and tuple(t_x.shape[:3]) == tuple(t_m.shape[:3])
+                == tuple(t_o.shape[:3])):
+            continue
+        hh = (kb[0] - 1) // 2
+        try:
+            pads_a = R._conv_pads(
+                (t_x.shape[1], t_x.shape[2]), (t_m.shape[1], t_m.shape[2]),
+                (1, 1), (1, 1), a.get("dilation", (1, 1)),
+                a["padding"], a["explicit_pad"])
+            pads_b = R._conv_pads(
+                (t_m.shape[1], t_m.shape[2]), (t_o.shape[1], t_o.shape[2]),
+                kb, (1, 1), ab.get("dilation", (1, 1)),
+                ab["padding"], ab["explicit_pad"])
+        except Exception:
+            continue
+        if pads_a != ((0, 0), (0, 0)) or pads_b != ((hh, hh), (hh, hh)):
+            continue
+        f = plan.f(b.outputs[0])
+        if plan.f(x_nm) != f or plan.f(m_name) != f:
+            continue
+        # a planned residual must be the pair's own input (the C3
+        # shortcut) so the kernel can source it from its x slab
+        ri = plan.res_fuse.get(b.outputs[0])
+        if ri is not None and ri[1] != x_nm:
+            continue
+        plan.bneck[m_name] = (node, b)
+
 
 def _ensure_logical(name, env, tensors, plan) -> None:
     """Replace a folded/lane-padded env value with its logical NHWC
@@ -539,6 +604,25 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
         f_act = act if act in FK.ACTS else "NONE"
         s = a["stride"][0]
         f_out = plan.f(out_name)
+
+        # fused bottleneck, first half: defer this 1x1 — the pair runs
+        # as ONE kernel when its KxK consumer is lowered
+        if out_name in plan.bneck:
+            x_nm = node.inputs[0]
+            okf = (x_nm in env and x_nm not in plan.qbf16_env
+                   and plan.runtime_fold.get(x_nm, 1) == f_out)
+            if okf and plan.res_fuse.get(
+                    plan.bneck[out_name][1].outputs[0]) is not None:
+                # in-kernel residual sources the x slab: phys lanes
+                # of x and the pair's output must match
+                o_b = tensors[plan.bneck[out_name][1].outputs[0]].shape[3]
+                okf = (-(-env[x_nm].shape[3] // 128) * 128
+                       == -(-f_out * o_b // 128) * 128)
+            if okf:
+                plan.bneck_live.add(out_name)
+                return True
+            # else: fall through, lower the 1x1 normally
+
         x = env.get(node.inputs[0])   # None for a virtual concat input
         w = env[node.inputs[1]]
         bias = env[node.inputs[2]] if len(node.inputs) > 2 else None
@@ -592,7 +676,40 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
             out_s = scale(store_name)
 
             src = node.inputs[0]
-            if src in plan.sppf and a["kernel"] == (1, 1) and s == 1 \
+            if src in plan.bneck_live:
+                # fused bottleneck, second half: run 1x1 -> KxK
+                # (+residual) as one kernel, intermediate in VMEM
+                plan.bneck_live.discard(src)
+                convA = plan.bneck[src][0]
+                aa = convA.attrs
+                x_nm = convA.inputs[0]
+                arr = env[x_nm]
+                cin_x = tensors[x_nm].shape[3]
+                if x_nm in plan.runtime_fold:
+                    parts_x = tuple(plan.parts.get(x_nm, (cin_x,)))
+                else:
+                    parts_x = (cin_x,)
+                phys = sum(-p if p < 0 else f_out * p for p in parts_x)
+                if arr.shape[3] > phys:
+                    parts_x += (-(arr.shape[3] - phys),)
+                w1 = env[convA.inputs[1]]
+                b1 = env[convA.inputs[2]] \
+                    if len(convA.inputs) > 2 else None
+                w1t = tensors[convA.inputs[1]]
+                ws1 = (w1t.channel_scales
+                       if w1t.channel_scales is not None
+                       else scale(convA.inputs[1]))
+                out = FK.bottleneck_int8_fused(
+                    arr, w1, b1, ws1, scale(src),
+                    w, bias, ws, out_s,
+                    scale(x_nm), out_hw,
+                    f=f_out, parts=parts_x,
+                    act1=aa.get("activation", "NONE"), act2=f_act,
+                    alpha1=aa.get("alpha", 0.01) or 0.01,
+                    alpha2=a.get("alpha", 0.01) or 0.01,
+                    shortcut=residual is not None,
+                    keep_phys=True)
+            elif src in plan.sppf and a["kernel"] == (1, 1) and s == 1 \
                     and residual is None and f_out == 1:
                 # SPPF: pools + concat + this 1x1 conv in one kernel
                 p_src, pk = plan.sppf[src]
