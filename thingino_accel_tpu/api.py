@@ -18,7 +18,7 @@ device and reports it; tensors are numpy views the caller fills, like
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -249,17 +249,43 @@ def mars_get_error_string(err: int) -> str:
 # -- generic model path (nna_model.h) ---------------------------------------
 
 
+_last_load_error: list = [NNA_SUCCESS, ""]
+
+
+def nna_get_load_error() -> Tuple[int, str]:
+    """(code, message) of the last :func:`nna_model_load` failure —
+    the structured-error channel a C caller reads instead of an
+    exception (``nna_strerror`` role, ``include/nna_model.h``)."""
+    return _last_load_error[0], _last_load_error[1]
+
+
 def nna_model_load(path: str, options=None) -> Optional[Model]:
-    """Loads any supported model container (`.mars` now; `.mgk` via the
-    offline importer once parsed — ``nna_model_load``,
-    ``include/nna_model.h:45``)."""
+    """Loads any supported model container (`.mars`; `.mgk` via the
+    offline importer for recognized families — ``nna_model_load``,
+    ``include/nna_model.h:45``). Returns None on failure with the
+    cause retrievable via :func:`nna_get_load_error` (an unsupported
+    `.mgk` family is a structured error, not a raise)."""
+    _last_load_error[:] = [NNA_SUCCESS, ""]
     if path.endswith(".mgk"):
         from thingino_accel_tpu.formats import mgk
+        from thingino_accel_tpu.formats.mgk_yolo import UnsupportedMgkError
         from thingino_accel_tpu.runtime import Engine
-        graph = mgk.import_mgk(path)
+        try:
+            graph = mgk.import_mgk(path)
+        except UnsupportedMgkError as e:
+            _last_load_error[:] = [
+                MARS_ERR_INVALID_FILE,
+                f"unsupported .mgk family (kinds: {e.kinds})"]
+            return None
+        except (ValueError, OSError) as e:
+            _last_load_error[:] = [MARS_ERR_INVALID_FILE, str(e)]
+            return None
         return Model(Engine(graph))
     err, model = mars_load_file(path, options)
-    return model if err == MARS_OK else None
+    if err != MARS_OK:
+        _last_load_error[:] = [err, mars_get_error_string(err)]
+        return None
+    return model
 
 
 def nna_model_unload(model: Optional[Model]) -> None:

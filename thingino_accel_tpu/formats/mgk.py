@@ -645,13 +645,28 @@ def export_aec_onnx(elf: ElfFile, streaming: bool = False) -> bytes:
 
 def mgk_to_onnx(path: str, streaming: bool = False) -> bytes:
     """`.mgk` -> ONNX bytes for recognized architectures (the CLI
-    ``decompile --onnx`` role; reference: ``mgk-decompiler --onnx``)."""
+    ``decompile --onnx`` role; reference: ``mgk-decompiler --onnx``).
+
+    Families: GRU layers -> AEC exporter; conv-family symbols/names
+    with a blob matching a yolov5 size table -> YOLO exporter
+    (``formats.mgk_yolo``). Anything else raises
+    :class:`~thingino_accel_tpu.formats.mgk_yolo.UnsupportedMgkError`
+    (structured: carries the mined layer kinds)."""
+    from thingino_accel_tpu.formats import mgk_yolo as MY
     elf, meta = load_mgk(path)
     kinds = {l.kind for l in meta.layers}
     if "GRU" in kinds:
         return export_aec_onnx(elf, streaming=streaming)
-    raise NotImplementedError(
-        f"no ONNX exporter for this .mgk family (kinds: {sorted(kinds)})")
+    sym_kinds = {s.kind for s in MY.decode_layers_from_symbols(elf)}
+    if "GRU" in sym_kinds:
+        return export_aec_onnx(elf, streaming=streaming)
+    if "Conv" in kinds or "Conv" in sym_kinds:
+        size = MY.detect_yolo_family(elf, meta)
+        if size is not None:
+            return MY.export_yolo_onnx(elf, meta, size)
+    raise MY.UnsupportedMgkError(
+        "no ONNX exporter for this .mgk family",
+        kinds=kinds | sym_kinds)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,18 @@ from thingino_accel_tpu.ops.pallas_kernels import (
 ACTS = ("NONE", "RELU", "LEAKY_RELU", "SILU")
 
 
+def _named(kernel, name: str):
+    """Give a kernel partial a real ``__name__`` so the Mosaic custom
+    call (and hence the profiler trace) carries the op's shape instead
+    of an anonymous ``fn.NN`` — the profiling that found round 2's
+    hotspots needed manual HLO cross-referencing without this."""
+    def fn(*args, **kwargs):
+        return kernel(*args, **kwargs)
+    fn.__name__ = "".join(c if c.isalnum() or c == "_" else "_"
+                          for c in name)
+    return fn
+
+
 def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
               alpha: float, res=None, res_scale: float = 1.0):
     """int32 accumulator tile -> int8, entirely in registers/VMEM.
@@ -158,10 +170,12 @@ def matmul_int8_fused(
 
     n_k = _cdiv(kp, block_k)
     grid = (_cdiv(mp, block_m), _cdiv(np_, block_n), n_k)
-    kernel = functools.partial(
-        _mm_kernel, n_k=n_k, act=act, inv_out=inv_out, alpha=alpha)
+    kernel = _named(functools.partial(
+        _mm_kernel, n_k=n_k, act=act, inv_out=inv_out, alpha=alpha),
+        f"mm_{m}x{n}x{k}_{act}")
     out = pl.pallas_call(
         kernel,
+        name=getattr(kernel, '__name__', None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
@@ -326,14 +340,16 @@ def matmul_int8_fused_multi(
         in_specs.append(pl.BlockSpec((block_m, block_n),
                                      lambda i, j: (i, j)))
 
-    kernel = functools.partial(
+    kernel = _named(functools.partial(
         _mm_multi_kernel, n_parts=n_parts, same_scale=same_scale,
         part_scales=[float(s) for s in in_scales],
         bias_scale=float(bias_scale), act=act,
         inv_out=inv_out, alpha=alpha, has_res=has_res,
-        res_scale=res_scale_eff)
+        res_scale=res_scale_eff),
+        f"mmc_{m}x{n}_{n_parts}p_{act}{'_res' if has_res else ''}")
     out = pl.pallas_call(
         kernel,
+        name=getattr(kernel, '__name__', None),
         grid=(_cdiv(mp, block_m), _cdiv(np_, block_n)),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
@@ -478,6 +494,7 @@ def conv2d_int8_halo_fused(
         act=act, inv_out=inv_out, alpha=alpha)
     out = pl.pallas_call(
         kernel,
+        name=getattr(kernel, '__name__', None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -584,11 +601,12 @@ def sppf_int8_fused(
                                  act, o, op)
 
     grid = (n, _cdiv(op, block_n))
-    kernel = functools.partial(
+    kernel = _named(functools.partial(
         _sppf_kernel, hw=(h, w), k=pool_k, act=act, inv_out=inv_out,
-        alpha=alpha)
+        alpha=alpha), f"sppf{pool_k}_{h}x{w}x{cp}o{op}_{act}")
     out = pl.pallas_call(
         kernel,
+        name=getattr(kernel, '__name__', None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h, w, cp), lambda ni, oi: (ni, 0, 0, 0)),
@@ -902,12 +920,14 @@ def conv2d_int8_folded(
         # one cell per (image, channel-block); in-kernel row loop with
         # two-slot slab DMA overlapping the next tile's fetch
         grid = (n, _cdiv(op, block_n))
-        kernel = functools.partial(
+        kernel = _named(functools.partial(
             _halo_kernel_dma, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow_g,
             n_tiles=n_tiles_h, halo_pairs=halo_pairs,
-            act=act, inv_out=inv_out, alpha=alpha)
+            act=act, inv_out=inv_out, alpha=alpha),
+            f"halodma{kh}x{qw}_{oh}x{ow_g}x{cp}o{op}_{act}")
         out = pl.pallas_call(
             kernel,
+            name=getattr(kernel, '__name__', None),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -934,10 +954,12 @@ def conv2d_int8_folded(
         res_scale_eff = float(np.float32(res_scale) / np.float32(out_scale))
     else:
         res_scale_eff = float(np.float32(res_scale))
-    kernel = functools.partial(
+    kernel = _named(functools.partial(
         _halo_kernel, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow_g,
         act=act, inv_out=inv_out, alpha=alpha,
-        has_res=residual is not None, res_scale=res_scale_eff)
+        has_res=residual is not None, res_scale=res_scale_eff),
+        f"halo{kh}x{qw}s{s}_{oh}x{ow_g}x{cp}o{op}_{act}"
+        f"{'_res' if residual is not None else ''}")
     in_specs = [
         pl.BlockSpec(
             (_PL_ELEMENT(1), _PL_ELEMENT(halo_pairs), _PL_ELEMENT(s),
@@ -963,6 +985,7 @@ def conv2d_int8_folded(
             (1, tile_h, ow_g, block_n), lambda ni, ti, oi: (ni, ti, 0, oi)))
     out = pl.pallas_call(
         kernel,
+        name=getattr(kernel, '__name__', None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -1147,14 +1170,17 @@ def bottleneck_int8_fused(
                              (q_shift, pad_wr), (0, cp - gc)))
 
     grid = (n, n_tiles_h)
-    kernel = functools.partial(
+    kernel = _named(functools.partial(
         _bneck_kernel, k=k, qw2=qw2, q_shift=q_shift, tile_h=tile_h,
         ow_g=ow_g, oh_img=oh, wg_img=wg,
         act1=act1, inv1=inv1, alpha1=alpha1,
         act2=act2, inv2=inv2, alpha2=alpha2,
-        has_res=shortcut, res_scale=res_scale_eff)
+        has_res=shortcut, res_scale=res_scale_eff),
+        f"bneck{k}_{oh}x{ow_g}x{cp}m{cm_p}o{op}_{act2}"
+        f"{'_res' if shortcut else ''}")
     out = pl.pallas_call(
         kernel,
+        name=getattr(kernel, '__name__', None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -1260,11 +1286,13 @@ def depthwise_conv2d_int8_fused(
     x5 = xp[:, :need_rows].reshape(n, need_rows, 1, wp_cols, cp)
 
     grid = (n, n_tiles_h)
-    kernel = functools.partial(
+    kernel = _named(functools.partial(
         _dw_kernel, kh=kh, kw=kw, s=1, tile_h=tile_h, ow=ow,
-        act=act, inv_out=inv_out, alpha=alpha)
+        act=act, inv_out=inv_out, alpha=alpha),
+        f"dw{kh}x{kw}_{ow}x{cp}_{act}")
     out = pl.pallas_call(
         kernel,
+        name=getattr(kernel, '__name__', None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

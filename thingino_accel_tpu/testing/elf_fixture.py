@@ -92,3 +92,62 @@ def build_elf32(
 
     body = b"".join(d for _, _, d, _ in bodies)
     return bytes(hdr) + body + bytes(sh) + appended
+
+
+def build_yolo_mgk(
+    size: str = "n",
+    num_classes: int = 80,
+    in_hw: Tuple[int, int] = (64, 64),
+    w_scale_run: bool = True,
+    w_scale: float = None,
+) -> Tuple[bytes, object]:
+    """Synthetic YOLO-family `.mgk`: the zoo graph's OWN int8 weights
+    packed per the sequential blob layout ``formats.mgk_yolo`` mines,
+    `.rodata` carrying YOLO-style layer-name strings + the per-layer
+    weight-scale run, and ``*_param_init`` symbols for family
+    detection. Returns (mgk_bytes, zoo_graph) so tests can compare the
+    decompiled export against the graph it was packed from."""
+    import numpy as np
+    from thingino_accel_tpu.formats.mgk_yolo import yolo_weight_table
+    from thingino_accel_tpu.models import zoo
+
+    cfg = None
+    if w_scale is not None:
+        # small w_scale keeps 60 layers of random f32 weights bounded
+        # so tests can compare full-model outputs numerically
+        cfg = zoo.ZooConfig(dtype="int8", num_classes=num_classes,
+                            in_hw=in_hw, w_scale=w_scale)
+    g, entries, total = yolo_weight_table(size, num_classes, in_hw, cfg)
+    blob = bytearray(total)
+    for e in entries:
+        w = g.tensors[e.w_name].data
+        assert w.dtype == np.int8 and w.size == e.w_size
+        blob[e.w_off:e.w_off + e.w_size] = w.tobytes()
+        if e.b_name:
+            b = g.tensors[e.b_name].data
+            assert b.dtype == np.int32
+            blob[e.b_off:e.b_off + e.b_size] = \
+                b.astype("<i4").tobytes()
+
+    ro = bytearray()
+    for i, e in enumerate(entries):
+        ro += f"{400 + 3 * i}_QuantizeConv2D\x00".encode()
+    ro += f"{400 + 3 * len(entries)}_output_last_layer\x00".encode()
+    ro += b"NHWC\x00INT8\x00"
+    if w_scale_run:
+        ro += b"\x00" * ((4 - len(ro) % 4) % 4)     # 4-align
+        ro += b"\x00" * 4                            # 0.0 sentinel
+        scales = np.asarray(
+            [float(g.tensors[e.w_name].quant.scale) for e in entries],
+            "<f4")
+        ro += scales.tobytes()
+        ro += b"\x00" * 4                            # 0.0 sentinel
+
+    symbols = [
+        ("conv2d_int8_param_init", 0x1000, 64),
+        ("maxpool_int8_param_init", 0x1100, 64),
+        ("concat_int8_param_init", 0x1200, 64),
+        ("add_int8_param_init", 0x1300, 64),
+        ("upsample_int8_param_init", 0x1400, 64),
+    ]
+    return build_elf32(bytes(ro), symbols, appended=bytes(blob)), g
