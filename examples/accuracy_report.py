@@ -39,12 +39,15 @@ CONF = 0.10
 IOU_MATCH = 0.5
 
 
-def _augments(img_arr: np.ndarray, n: int, seed: int):
-    """Crops/flips/scales of one image -> [n, H, W, 3] uint8 batches."""
+def _augments(img_arr: np.ndarray, n: int, seed: int,
+              mosaics: bool = False):
+    """Crops/flips/scales (+ optional 4-tile mosaics — multi-object
+    composites that raise per-frame box counts) of one image ->
+    [H, W, 3] uint8 frames."""
     rng = np.random.default_rng(seed)
     h, w = img_arr.shape[:2]
-    out = []
-    for i in range(n):
+
+    def one_crop():
         ch = rng.integers(h // 2, h + 1)
         cw = rng.integers(w // 2, w + 1)
         y0 = rng.integers(0, h - ch + 1)
@@ -52,11 +55,28 @@ def _augments(img_arr: np.ndarray, n: int, seed: int):
         crop = img_arr[y0:y0 + ch, x0:x0 + cw]
         if rng.random() < 0.5:
             crop = crop[:, ::-1]
-        # brightness jitter
         gain = rng.uniform(0.8, 1.2)
-        crop = np.clip(crop.astype(np.float32) * gain, 0, 255).astype(
+        return np.clip(crop.astype(np.float32) * gain, 0, 255).astype(
             np.uint8)
-        out.append(np.ascontiguousarray(crop))
+
+    out = []
+    for i in range(n):
+        if mosaics and i % 3 == 2:
+            # 2x2 mosaic of independent crops, each resized to a
+            # common tile — the crowded-scene composite
+            from PIL import Image
+            th, tw = h // 2, w // 2
+            tiles = []
+            for _ in range(4):
+                c = one_crop()
+                tiles.append(np.asarray(Image.fromarray(c).resize(
+                    (tw, th), Image.BILINEAR)))
+            top = np.concatenate(tiles[:2], axis=1)
+            bot = np.concatenate(tiles[2:], axis=1)
+            out.append(np.ascontiguousarray(
+                np.concatenate([top, bot], axis=0)))
+        else:
+            out.append(np.ascontiguousarray(one_crop()))
     return out
 
 
@@ -72,7 +92,7 @@ def _letterbox_np(arr: np.ndarray, size: int = 640) -> np.ndarray:
     return canvas
 
 
-def _detections(eng, graph, det_outs, x, scales=None):
+def _detections(eng, graph, det_outs, x, scales=None, conf=CONF):
     from thingino_accel_tpu.models import yolo
     feats = eng.run(**{graph.inputs[0]: x})
     # tier passes may rename outputs (e.g. fast tier's __q edge
@@ -80,10 +100,16 @@ def _detections(eng, graph, det_outs, x, scales=None):
     heads = list(feats.values())
     boxes, scores, classes = yolo.decode_and_parse(heads, scales=scales)
     dets = yolo.nms_batched(boxes, scores, classes,
-                            conf_thresh=CONF, max_dets=100)
+                            conf_thresh=conf, max_dets=100)
     v = np.asarray(dets.valid[0])
     return (np.asarray(dets.boxes[0])[v], np.asarray(dets.scores[0])[v],
             np.asarray(dets.classes[0])[v])
+
+
+def _filter_conf(dets, conf):
+    b, s, c = dets
+    keep = s >= conf
+    return b[keep], s[keep], c[keep]
 
 
 def _iou(a, b):
@@ -123,8 +149,10 @@ def match_stats(oracle, got):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY.md"))
-    ap.add_argument("--n-eval", type=int, default=16)
-    ap.add_argument("--n-calib", type=int, default=8)
+    ap.add_argument("--n-eval", type=int, default=100)
+    ap.add_argument("--n-calib", type=int, default=24)
+    ap.add_argument("--calib-method", default="mse",
+                    choices=["percentile", "mse"])
     ap.add_argument("--save-int8", default=os.path.join(
         REPO, "models", "yolov5n_cal_int8.mars"))
     args = ap.parse_args()
@@ -153,9 +181,12 @@ def main() -> int:
 
     # calibration (disjoint seed from eval)
     calib = [_letterbox_np(a).astype(np.float32)[None] / 255.0
-             for a in _augments(img, args.n_calib, seed=100)]
-    print(f"calibrating on {len(calib)} augments ...")
-    gq = ptq.quantize_model(gf, ({in_name: c} for c in calib))
+             for a in _augments(img, args.n_calib, seed=100,
+                                mosaics=True)]
+    print(f"calibrating on {len(calib)} augments "
+          f"({args.calib_method}) ...")
+    gq = ptq.quantize_model(gf, ({in_name: c} for c in calib),
+                            method=args.calib_method)
     if args.save_int8:
         from thingino_accel_tpu.formats.mars_export import export_mars
         os.makedirs(os.path.dirname(args.save_int8), exist_ok=True)
@@ -184,9 +215,12 @@ def main() -> int:
             gq, det_scales_q, "int8"),
     }
 
-    evals = [img] + _augments(img, args.n_eval - 1, seed=7)
-    rows = {k: np.zeros(5) for k in tiers}
-    oracle_boxes = 0
+    evals = [img] + _augments(img, args.n_eval - 1, seed=7,
+                              mosaics=True)
+    # collect per-frame detections at a low base conf so the main
+    # table AND the conf-threshold curve come from one pass
+    base_conf = min(CONF, 0.05)
+    per_frame = {k: [] for k in tiers}
     eng_f, *_ = tiers["f32 (oracle)"]
     for ei, a in enumerate(evals):
         lb = _letterbox_np(a)
@@ -194,22 +228,39 @@ def main() -> int:
         xq = jnp.asarray(np.clip(np.round(
             lb.astype(np.float32) / 255.0 / in_scale),
             -128, 127).astype(np.int8)[None])
-        oracle = _detections(eng_f, gf, det_outs, xf)
-        oracle_boxes += len(oracle[0])
         for name, (eng, graph, scales, kind) in tiers.items():
             x = xf if kind == "f32" else xq
-            got = _detections(eng, graph, det_outs, x, scales=scales)
-            m = match_stats(oracle, got)
-            rows[name] += np.asarray(m, np.float64)
-        print(f"eval {ei + 1}/{len(evals)}: {len(oracle[0])} oracle boxes")
+            per_frame[name].append(_detections(
+                eng, graph, det_outs, x, scales=scales, conf=base_conf))
+        if (ei + 1) % 10 == 0 or ei == 0:
+            print(f"eval {ei + 1}/{len(evals)}: "
+                  f"{len(per_frame['f32 (oracle)'][-1][0])} oracle boxes")
+
+    def stats_at(conf):
+        rows_c = {k: np.zeros(5) for k in tiers}
+        o_boxes = 0
+        for fi in range(len(evals)):
+            oracle = _filter_conf(per_frame["f32 (oracle)"][fi], conf)
+            o_boxes += len(oracle[0])
+            for name in tiers:
+                got = _filter_conf(per_frame[name][fi], conf)
+                rows_c[name] += np.asarray(
+                    match_stats(oracle, got), np.float64)
+        return rows_c, o_boxes
+
+    rows, oracle_boxes = stats_at(CONF)
+    curve_confs = [0.05, 0.10, 0.20, 0.30, 0.40, 0.50]
+    curve = {c: stats_at(c) for c in curve_confs}
 
     lines = [
         "# ACCURACY — cross-tier detection parity (real weights)",
         "",
         f"Model: `{os.path.basename(REF_MARS)}` (bundled, real f32 "
-        "weights) -> PTQ int8 (per-channel, calibrated on "
-        f"{args.n_calib} augments of the reference's own test image).",
-        f"Eval: {len(evals)} augmented frames of "
+        "weights) -> PTQ int8 (per-channel weights, "
+        f"{args.calib_method}-calibrated activations on {args.n_calib} "
+        "augments of the reference's own test image).",
+        f"Eval: {len(evals)} augmented frames (crops / flips / "
+        "brightness / 2x2 mosaics) of "
         "`test_detection.jpg`, the image the reference validates on "
         "(`mars_yolo_test.c:174-206`). "
         f"Metric: greedy class-aware matching at IoU > {IOU_MATCH} "
@@ -235,6 +286,24 @@ def main() -> int:
     lines += [
         "",
         f"Oracle boxes total: {oracle_boxes}.",
+        "",
+        "## Parity vs confidence threshold (match rate)",
+        "",
+        "| conf | " + " | ".join(k for k in tiers if "oracle"
+                                 not in k) + " | oracle boxes |",
+        "|---|" + "---|" * (len(tiers)),
+    ]
+    for c in curve_confs:
+        rows_c, ob = curve[c]
+        cells = []
+        for name in tiers:
+            if "oracle" in name:
+                continue
+            n_m = rows_c[name][0]
+            cells.append(f"{n_m / max(1, ob):.3f}")
+        lines.append(f"| {c:.2f} | " + " | ".join(cells)
+                     + f" | {ob} |")
+    lines += [
         "",
         "## Reading the table",
         "",

@@ -21,12 +21,24 @@ def main() -> int:
 
     streams, frames_each, batch = 4, 8, 8
     hw = (96, 96)
-    print(f"[1] Engine: yolov5n int8 (fast tier) @ {hw}")
+    n_dev = len(jax.devices())
+    print(f"[1] Engine: yolov5n int8 (fast tier) @ {hw} "
+          f"({n_dev} device{'s' if n_dev > 1 else ''})")
     g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=hw))
     eng = Engine(g, EngineOptions(precision="fast"))
     in_name = g.inputs[0]
-    body, params = eng._fn, eng.params
-    fn = jax.jit(lambda x: body(params, {in_name: x}))
+    if n_dev > 1 and batch % n_dev == 0:
+        # multi-chip: dp-shard each served batch over the mesh
+        # (collective-free postprocess — docs/SCALING.md)
+        from thingino_accel_tpu.parallel import (
+            make_mesh, make_sharded_forward,
+        )
+        mesh = make_mesh(dp=n_dev)
+        sfn, sparams = make_sharded_forward(eng, mesh)
+        fn = lambda x: sfn(sparams, {in_name: x})  # noqa: E731
+    else:
+        body, params = eng._fn, eng.params
+        fn = jax.jit(lambda x: body(params, {in_name: x}))
 
     print(f"[2] {streams} streams x {frames_each} frames, batch {batch}")
     rng = np.random.default_rng(0)

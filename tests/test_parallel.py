@@ -190,3 +190,31 @@ def test_sharded_detector_e2e():
                                    rtol=1e-4, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(classes)[bi][m],
                                       np.asarray(ref.classes)[bi][m])
+
+
+def test_sharded_detector_no_cross_device_collectives():
+    """dp serving must be embarrassingly parallel: the compiled HLO
+    may contain NO collectives — each chip letterboxes, runs, decodes
+    and suppresses its own batch shard; the only multi-device motion
+    is the host-side input scatter (VERDICT r2 item 6)."""
+    import re
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from thingino_accel_tpu.models import zoo
+    from thingino_accel_tpu.runtime import Engine, EngineOptions
+    from thingino_accel_tpu.parallel import make_mesh, make_sharded_detector
+
+    mesh = make_mesh(dp=8)
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64)))
+    eng = Engine(g, EngineOptions(precision="fast"))
+    fn, sp = make_sharded_detector(eng, mesh, max_dets=10)
+    frames = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (16, 48, 64, 3), dtype=np.uint8))
+    hlo = fn.lower(sp, frames).compile().as_text()
+    bad = re.findall(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)\b", hlo)
+    assert not bad, f"unexpected collectives in dp serving HLO: {bad}"

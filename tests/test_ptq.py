@@ -119,3 +119,45 @@ def test_ptq_fc_per_channel():
     deq = qi.astype(np.float32) * gq.tensors[gq.outputs[0]].quant.scale
     cc = np.corrcoef(deq.reshape(-1), ref.reshape(-1))[0, 1]
     assert cc > 0.98, f"per-channel FC PTQ accuracy too low: cc={cc}"
+
+
+def _quant_mse(x, clip):
+    s = clip / 127.0
+    q = np.clip(np.round(x / s), -128, 127) * s
+    return float(np.mean((q - x) ** 2))
+
+
+def test_mse_scale_minimizes_quant_error():
+    """The chosen clip is the grid argmin of quantization MSE (in
+    particular never worse than plain absmax), and ~absmax on uniform
+    data where no clipping helps."""
+    rng = np.random.default_rng(0)
+    heavy = np.abs(np.concatenate([
+        rng.normal(0, 0.5, 60000).astype(np.float32), [8.0]]))
+    clip = ptq._mse_scale(heavy, float(heavy.max()))
+    assert clip < float(heavy.max())            # some clipping wins
+    got = _quant_mse(heavy, clip)
+    assert got <= _quant_mse(heavy, float(heavy.max())) + 1e-12
+    for frac in np.linspace(0.15, 1.0, 40):
+        assert got <= _quant_mse(heavy, frac * float(heavy.max())) \
+            + 1e-9, frac
+
+    flat = np.abs(rng.uniform(-1, 1, 60000).astype(np.float32))
+    clip2 = ptq._mse_scale(flat, float(flat.max()))
+    assert clip2 > 0.85 * flat.max(), (clip2, flat.max())
+
+
+def test_calibrate_mse_method_end_to_end():
+    from thingino_accel_tpu.models import zoo
+
+    g = zoo.build_tiny(zoo.ZooConfig(dtype="float32", in_hw=(16, 16)))
+    rng = np.random.default_rng(1)
+    batches = [{g.inputs[0]: rng.normal(0, 1, (1, 16, 16, 3))
+                .astype(np.float32)} for _ in range(2)]
+    stats = ptq.calibrate(g, iter(batches), method="mse")
+    assert stats.absmax          # every activation got a scale
+    gq = ptq.quantize_graph(g, stats)
+    gq.validate()
+    assert all(np.dtype(t.dtype) == np.int8
+               for n, t in gq.tensors.items()
+               if not t.is_const and n in gq.tensors)

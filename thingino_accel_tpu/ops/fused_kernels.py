@@ -1039,7 +1039,7 @@ def fold_layout(x: jax.Array, f: int) -> jax.Array:
 
 
 def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
-                  cs2_ref, out_ref, *,
+                  cs2_ref, out_ref, m_ref, *,
                   k: int, qw2: int, q_shift: int, tile_h: int, ow_g: int,
                   oh_img: int, wg_img: int,
                   act1: str, inv1: float, alpha1: float,
@@ -1063,12 +1063,16 @@ def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
     c_grp = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
     valid = ((r_img >= 0) & (r_img < oh_img)
              & (c_grp >= q_shift) & (c_grp < q_shift + wg_img))
-    m = jnp.where(valid, m, jnp.int8(0))
+    # stage m through a VMEM scratch REF: tap windows then read as
+    # addressed VMEM loads (the halo kernel's x_ref pattern) instead
+    # of unaligned vector shuffles of a live value — measured 5x on
+    # the whole-kernel rate at 80x80x128 (docs/KERNELS.md round 3)
+    m_ref[:] = jnp.where(valid, m, jnp.int8(0))
 
     acc = None
     for dy in range(k):
         for qx in range(qw2):
-            t_ = m[dy:dy + tile_h, qx:qx + ow_g, :]
+            t_ = m_ref[dy:dy + tile_h, qx:qx + ow_g, :]
             p = dot_i8(t_.reshape(tile_h * ow_g, cm),
                        w2_ref[dy * qw2 + qx])
             acc = p if acc is None else acc + p
@@ -1198,6 +1202,8 @@ def bottleneck_int8_fused(
             (1, tile_h, ow_g, op), lambda ni, ti: (ni, ti, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (n, n_tiles_h * tile_h, ow_g, op), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((halo_rows, wq_tot, cm_p), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )(x_p, w1m, b1r, cs1, w2m, b2r, cs2)

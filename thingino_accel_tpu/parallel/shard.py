@@ -140,17 +140,36 @@ def make_sharded_detector(engine, mesh: Mesh, *,
         f"head channels {head_ch} are not 3*(5+nc) — "
         "make_sharded_detector expects yolov5-anchor heads")
 
-    def pipeline(params, frames_u8):
-        lb = yolo.letterbox_uint8(frames_u8, in_hw)
-        x = yolo.quantize_input_int8(lb)
-        feats = body(params, {in_name: x})
-        heads = [feats[k] for k in out_names]
+    from jax.experimental.shard_map import shard_map
+
+    def _postprocess(*heads):
+        # runs PER DEVICE on the local batch shard: the NMS while_loop
+        # condition and the top_k pool selection stay chip-local.
+        # Under plain GSPMD these partition badly — the vmapped top_k
+        # all-gathers the batch dim and the while_loop's scalar `any
+        # (changed)` condition all-reduces every iteration (observed
+        # in the compiled HLO; tests/test_parallel.py asserts the
+        # shard_map version compiles collective-free).
         boxes, conf, cls = yolo.decode_and_parse(
-            heads, scales=scales, num_classes=num_classes)
+            list(heads), scales=scales, num_classes=num_classes)
         dets = yolo.nms_batched(boxes, conf, cls, max_dets=max_dets,
                                 conf_thresh=conf_thresh,
                                 iou_thresh=iou_thresh)
         return dets.boxes, dets.scores, dets.classes, dets.valid
+
+    post = shard_map(
+        _postprocess, mesh=mesh,
+        in_specs=tuple(P("dp") for _ in out_names),
+        out_specs=P("dp"), check_rep=False)
+
+    def pipeline(params, frames_u8):
+        lb = yolo.letterbox_uint8(frames_u8, in_hw)
+        x = yolo.quantize_input_int8(lb)
+        feats = body(params, {in_name: x})
+        heads = [jax.lax.with_sharding_constraint(
+            feats[k], NamedSharding(mesh, P("dp")))
+            for k in out_names]
+        return post(*heads)
 
     fn = jax.jit(
         pipeline,
