@@ -44,7 +44,31 @@ from thingino_accel_tpu.ops.pallas_kernels import (
     _PL_ELEMENT, _cdiv, _round_up, dot_i8,
 )
 
-ACTS = ("NONE", "RELU", "LEAKY_RELU", "SILU")
+ACTS = ("NONE", "RELU", "LEAKY_RELU", "SILU", "SILU_FAST")
+
+
+def _sigmoid_fast(x):
+    """Rational (Pade) sigmoid — no transcendentals on the VPU.
+
+    ``sigmoid(x) = 0.5 * (1 + tanh(x/2))`` with the [5/4] Pade tanh
+    ``tanh(y) ~ y*(945 + 105 y^2 + y^4) / (945 + 420 y^2 + 15 y^4)``
+    on ``y = x/2`` clamped to +-3.6333 — the point where the
+    approximant crosses exactly +-1, so |x| >= 7.27 yields sigmoid
+    exactly 0/1 and ``silu(x) = x`` there (true residual x*e^-x <
+    5e-3). Measured absolute error: |sigmoid err| < 8e-4, |silu err|
+    < 6e-3 over all x (tests/test_fused_kernels.py) — under a tenth
+    of an int8 quantum for out_scale >= 0.06, so requantized outputs
+    differ from the exp path only on exact rounding boundaries.
+    Motivation: the exp-based SiLU epilogue costs ~8 us/frame over
+    RELU at 80x80c128 (docs/KERNELS.md round 3 anatomy); this is
+    pure mul/add/div VPU work."""
+    y = jnp.clip(x * jnp.float32(0.5), -3.6333, 3.6333)
+    y2 = y * y
+    y4 = y2 * y2
+    num = y * (jnp.float32(945.0) + jnp.float32(105.0) * y2 + y4)
+    den = (jnp.float32(945.0) + jnp.float32(420.0) * y2
+           + jnp.float32(15.0) * y4)
+    return jnp.float32(0.5) + jnp.float32(0.5) * (num / den)
 
 
 def _named(kernel, name: str):
@@ -79,6 +103,8 @@ def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
         pre = jnp.where(pre >= 0, pre, jnp.float32(alpha) * pre)
     elif act == "SILU":
         pre = pre * jax.nn.sigmoid(pre)
+    elif act == "SILU_FAST":
+        pre = pre * _sigmoid_fast(pre)
     if res is not None:
         pre = pre + res.astype(jnp.float32) * jnp.float32(res_scale)
     scaled = pre * jnp.float32(inv_out)
@@ -1063,16 +1089,21 @@ def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
     c_grp = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
     valid = ((r_img >= 0) & (r_img < oh_img)
              & (c_grp >= q_shift) & (c_grp < q_shift + wg_img))
-    # stage m through a VMEM scratch REF: tap windows then read as
-    # addressed VMEM loads (the halo kernel's x_ref pattern) instead
-    # of unaligned vector shuffles of a live value — measured 5x on
-    # the whole-kernel rate at 80x80x128 (docs/KERNELS.md round 3)
-    m_ref[:] = jnp.where(valid, m, jnp.int8(0))
+    m = jnp.where(valid, m, jnp.int8(0))
+    # stage m through per-qx PRE-SHIFTED scratch buffers: a tap window
+    # [dy:dy+tile_h, qx:qx+ow_g] starts at sublane offset qx in the
+    # (w, c) tiling, and Mosaic pays a vector rotate on every such
+    # operand load — 9 rotated loads per cell. Writing the qw2 shifted
+    # views once makes every tap read aligned (dim-0/dim-1 outer
+    # slices only): measured 142 -> 210 TOP/s on the stripped kernel
+    # at 80x80x128 (docs/KERNELS.md round 3 anatomy).
+    for qx in range(qw2):
+        m_ref[qx] = m[:, qx:qx + ow_g, :]
 
     acc = None
     for dy in range(k):
         for qx in range(qw2):
-            t_ = m_ref[dy:dy + tile_h, qx:qx + ow_g, :]
+            t_ = m_ref[qx, dy:dy + tile_h]
             p = dot_i8(t_.reshape(tile_h * ow_g, cm),
                        w2_ref[dy * qw2 + qx])
             acc = p if acc is None else acc + p
@@ -1203,7 +1234,7 @@ def bottleneck_int8_fused(
         out_shape=jax.ShapeDtypeStruct(
             (n, n_tiles_h * tile_h, ow_g, op), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((halo_rows, wq_tot, cm_p), jnp.int8)],
+            pltpu.VMEM((qw2, halo_rows, ow_g, cm_p), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )(x_p, w1m, b1r, cs1, w2m, b2r, cs2)

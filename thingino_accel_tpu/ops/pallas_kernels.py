@@ -46,7 +46,14 @@ def dot_i8(a, b, dims=(((1,), (0,)), ((), ()))):
     Pins Precision.DEFAULT: a global jax_default_matmul_precision of
     'highest' would annotate fp32 contract precision on int8 tpu.matmul,
     which Mosaic rejects ("Bad lhs type"). Every int8 dot in a pallas
-    kernel must go through here."""
+    kernel must go through here.
+
+    ``a`` may arrive as qbf16 (integer VALUES carried in bf16 from the
+    XLA stem stage — executor's ``stem_emit``): the in-VMEM cast is
+    exact for integers in [-128, 127] (bf16 has an 8-bit mantissa) and
+    replaces a whole-tensor HBM quantize pass at the stage exit."""
+    if a.dtype != jnp.int8:
+        a = a.astype(jnp.int8)
     return jax.lax.dot_general(
         a, b, dims, preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT)

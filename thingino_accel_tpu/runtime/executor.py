@@ -46,6 +46,24 @@ def _is_int8(t: TensorInfo) -> bool:
     return np.issubdtype(t.dtype, np.signedinteger) and t.dtype.itemsize == 1
 
 
+def _kernel_act(act: str) -> str:
+    """Serving-kernel activation name. SILU routes to the rational
+    fast-sigmoid epilogue (``ops.fused_kernels._sigmoid_fast``,
+    |silu err| < 6e-3 — under a tenth of a quantum at typical
+    out_scales) unless ``TAT_EXACT_SILU=1`` pins the exp path."""
+    from thingino_accel_tpu.ops import fused_kernels as FK
+    from thingino_accel_tpu.utils import config
+    if act == "SILU" and not config.get("TAT_EXACT_SILU"):
+        return "SILU_FAST"
+    return act if act in FK.ACTS else "NONE"
+
+
+def _act_applied(f_act: str, act: str) -> bool:
+    """Did the kernel's epilogue already apply the node's activation?
+    (SILU_FAST is the serving implementation OF SILU.)"""
+    return f_act == act or (f_act == "SILU_FAST" and act == "SILU")
+
+
 def _nhwc_out_hw(t: TensorInfo) -> Tuple[int, int]:
     return t.shape[1], t.shape[2]
 
@@ -264,6 +282,27 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
         stage -= drop
     plan.stem_stage = stage
     plan.stem_emit = emits(stage)
+
+    # qbf16 stage EXITS: when every consumer of the exit tensor is a
+    # plain fold-eligible 1x1 serving conv, the exit can stay in bf16
+    # (integer values) — the consumers' matmul kernels cast int8 in
+    # VMEM (ops.pallas_kernels.dot_i8), deleting the stage-exit
+    # f32->int8 quantize pass. Other consumer shapes fall back via
+    # _ensure_logical, so the gate here is a perf choice, not a
+    # correctness one.
+    for node in nodes:
+        out = node.outputs[0]
+        if plan.stem_emit.get(out) != "int8" or out in graph_outputs:
+            continue
+        cons = consumers.get(out, [])
+        if cons and all(
+                c.op == "CONV2D" and _conv_fold_eligible(c, tensors)
+                and c.inputs[0] == out and out not in c.inputs[1:]
+                and c.outputs[0] not in stage
+                and c.attrs.get("kernel", (1, 1)) == (1, 1)
+                and c.attrs.get("stride", (1, 1)) == (1, 1)
+                for c in cons):
+            plan.stem_emit[out] = "qbf16"
 
     for node in nodes:
         out = node.outputs[0]
@@ -532,9 +571,10 @@ def _ensure_logical(name, env, tensors, plan) -> None:
         return
     if name in plan.qbf16_env:
         # integer values stored as bf16 -> materialize the int8 tensor
+        # (NO early return: a folded qbf16 stage-exit still needs the
+        # unfold below for logical consumers)
         plan.qbf16_env.discard(name)
         env[name] = env[name].astype(jnp.int8)
-        return
     if name not in plan.runtime_fold:
         return
     from thingino_accel_tpu.ops import fused_kernels as FK
@@ -576,7 +616,7 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                 and a.get("dilation", (1, 1)) == (1, 1)
                 and len(in_t.shape) == 4 and 0 not in in_t.shape):
             act = a.get("activation", "NONE")
-            f_act = act if act in FK.ACTS else "NONE"
+            f_act = _kernel_act(act)
             _unfold_inputs(node, env, tensors, plan)
             x = env[node.inputs[0]]
             w = env[node.inputs[1]]           # [KH, KW, C] (prepare_params)
@@ -594,14 +634,14 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                 x, w, bias, out_hw, (1, 1), pads,
                 scale(node.inputs[0]), ws, scale(out_name),
                 act=f_act, alpha=a.get("alpha", 0.01) or 0.01)
-            if f_act != act:
+            if not _act_applied(f_act, act):
                 out = _apply_fused_act(out, act, out_t, compat=False)
             env[out_name] = out
             return True
 
     if _conv_fold_eligible(node, tensors):
         act = a.get("activation", "NONE")
-        f_act = act if act in FK.ACTS else "NONE"
+        f_act = _kernel_act(act)
         s = a["stride"][0]
         f_out = plan.f(out_name)
 
@@ -644,14 +684,28 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
             else:
                 _ensure_logical(node.inputs[0], env, tensors, plan)
                 x = env[node.inputs[0]]
+            # the stem runs in XLA (not a pallas epilogue): exp SiLU
+            # is already fused and cheap there — keep it exact
+            stem_act = act if act in FK.ACTS else "NONE"
             out = FK.conv2d_int8_stem_fused(
                 x, w, bias, out_hw, a["stride"], pads,
                 scale(node.inputs[0]), ws, scale(out_name),
-                act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
+                act=stem_act, alpha=a.get("alpha", 0.01) or 0.01,
                 f_out=f_out, emit=emit)
             if emit == "qbf16":
                 # stage membership guarantees act in FK.ACTS (fused)
-                assert f_act == act, (act, out_name)
+                assert stem_act == act, (act, out_name)
+                if out_name not in plan.stem_stage or any(
+                        c.outputs[0] not in plan.stem_stage
+                        for c in plan.consumers.get(out_name, [])):
+                    # qbf16 STAGE EXIT: serving 1x1 consumers take the
+                    # integer-valued bf16 directly (dot_i8 casts in
+                    # VMEM) — fold it so the layout contract matches;
+                    # this deletes the whole-tensor f32->int8 quantize
+                    # pass (~46 us/frame on yolov5s@640 b128)
+                    if f_out > 1:
+                        out = FK.fold_layout(out, f_out)
+                        plan.runtime_fold[out_name] = f_out
                 env[out_name] = out
                 plan.qbf16_env.add(out_name)
                 return True
@@ -664,7 +718,7 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
             residual = None
             res_scale = 1.0
             ri = plan.res_fuse.get(out_name)
-            if ri is not None and f_act == act:
+            if ri is not None and _act_applied(f_act, act):
                 add_node, other = ri
                 p_other = plan.parts.get(other, (o_ch,))
                 if (other in env and rtf(other) == f_out
@@ -704,7 +758,8 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                     w, bias, ws, out_s,
                     scale(x_nm), out_hw,
                     f=f_out, parts=parts_x,
-                    act1=aa.get("activation", "NONE"), act2=f_act,
+                    act1=_kernel_act(aa.get("activation", "NONE")),
+                    act2=f_act,
                     alpha1=aa.get("alpha", 0.01) or 0.01,
                     alpha2=a.get("alpha", 0.01) or 0.01,
                     shortcut=residual is not None,
@@ -810,7 +865,7 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
             if residual is not None:
                 out_name = store_name
                 out_t = tensors[store_name]
-        if f_act != act:
+        if not _act_applied(f_act, act):
             out = _apply_fused_act(out, act, out_t, compat=False)
         env[out_name] = out
         o_ch = out_t.shape[3]
@@ -947,12 +1002,12 @@ def _lower_node(
                 # serving tier: fused pallas kernels with the activation
                 # (incl. SILU/LEAKY) folded into the requant epilogue
                 from thingino_accel_tpu.ops import fused_kernels as FK
-                f_act = act if act in FK.ACTS else "NONE"
+                f_act = _kernel_act(act)
                 out = FK.conv2d_int8_fused(
                     x, w, bias, out_hw, a["stride"], a["dilation"], pads,
                     scale(node.inputs[0]), ws, scale(out_name),
                     act=f_act, alpha=a.get("alpha", 0.01) or 0.01)
-                if f_act == act:
+                if _act_applied(f_act, act):
                     env[out_name] = out
                     return   # epilogue consumed the activation
             else:

@@ -51,3 +51,6 @@ _register("TAT_BENCH_EXACT", False, _bool,
 _register("TAT_TPU_TESTS", False, _bool,
           "let the test suite target real TPU hardware")
 _register("TAT_LOG", "warn", str, "log level: debug|info|warn|error")
+_register("TAT_EXACT_SILU", False, _bool,
+          "serving tier: exp-exact SiLU epilogue instead of the "
+          "rational fast-sigmoid (|silu err| < 6e-3)")
