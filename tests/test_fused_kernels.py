@@ -50,7 +50,9 @@ def _oracle(acc, bias, in_s, w_s, out_s, act, alpha=0.01):
     if bias is not None:
         acc = acc + bias.astype(np.int32)
     ws = np.asarray(w_s, np.float32)
-    if act in ("NONE", "RELU"):
+    if act in ("NONE", "RELU", "LEAKY_RELU"):
+        # LEAKY quantizes linearly; alpha applies on the int8 value
+        # (reference semantics, mars_runtime.c:1078-1082)
         cs = (np.float32(in_s) * ws / np.float32(out_s)).astype(np.float32)
         pre = acc.astype(np.float32) * cs
         if act == "RELU":
@@ -59,16 +61,17 @@ def _oracle(acc, bias, in_s, w_s, out_s, act, alpha=0.01):
     else:
         cs = (np.float32(in_s) * ws).astype(np.float32)
         pre = acc.astype(np.float32) * cs
-        if act == "LEAKY_RELU":
-            pre = np.where(pre >= 0, pre, np.float32(alpha) * pre)
-        elif act == "SILU":
-            pre = pre / (1.0 + np.exp(-pre)) if False else \
-                pre * (1.0 / (1.0 + np.exp(-pre.astype(np.float64)))
-                       ).astype(np.float32)
+        if act == "SILU":
+            pre = pre * (1.0 / (1.0 + np.exp(-pre.astype(np.float64)))
+                         ).astype(np.float32)
         scaled = pre * np.float32(1.0 / np.float32(out_s))
     shifted = scaled + np.where(scaled >= 0, np.float32(0.5),
                                 np.float32(-0.5))
-    return np.clip(np.trunc(shifted), -128, 127).astype(np.int8)
+    q = np.clip(np.trunc(shifted), -128, 127)
+    if act == "LEAKY_RELU":
+        neg = np.maximum(np.trunc(q * np.float32(alpha)), -128.0)
+        q = np.where(q > 0, q, neg)
+    return q.astype(np.int8)
 
 
 @pytest.mark.parametrize("act", ["NONE", "RELU", "LEAKY_RELU", "SILU"])
@@ -405,7 +408,9 @@ def test_matmul_multi_mixed_scales_with_bias(rng):
     (1, 128, 64, True, "SILU"),     # yolov5 80x80-level bottleneck
     (2, 64, 32, True, "SILU"),      # 160x160-level (folded x2)
     (1, 64, 64, False, "RELU"),     # no shortcut, unpadded m lanes
-    (1, 32, 16, True, "LEAKY_RELU"),
+    # LEAKY: no shortcut — its alpha applies post-quantization, which
+    # excludes the fused pre-quantization residual (executor gate)
+    (1, 32, 16, False, "LEAKY_RELU"),
 ])
 def test_bottleneck_fused_vs_oracle(rng, f, c, c_, shortcut, act):
     """Fused 1x1 -> 3x3 (+residual) == the two-conv + add oracle with
@@ -432,7 +437,7 @@ def test_bottleneck_fused_vs_oracle(rng, f, c, c_, shortcut, act):
     acc2 = _conv_acc(m, w2, (1, 1), ((1, 1), (1, 1)))
     # mirror _epilogue's scale folding exactly: NONE/RELU fold /out_s
     # into the combined scale (single multiply, inv_out = 1)
-    if act in ("NONE", "RELU"):
+    if act in ("NONE", "RELU", "LEAKY_RELU"):
         cs2 = np.float32(m_s) * np.float32(w2s) / np.float32(out_s)
         inv2, rs = np.float32(1.0), np.float32(in_s) / np.float32(out_s)
     else:
@@ -442,8 +447,8 @@ def test_bottleneck_fused_vs_oracle(rng, f, c, c_, shortcut, act):
     accf = (acc2 + b2).astype(np.float32) * cs2
     if act == "RELU":
         pre = np.maximum(accf, 0.0)
-    elif act == "LEAKY_RELU":
-        pre = np.where(accf >= 0, accf, np.float32(0.01) * accf)
+    elif act in ("NONE", "LEAKY_RELU"):
+        pre = accf
     else:
         pre = accf * (1.0 / (1.0 + np.exp(-accf.astype(np.float64)))
                       ).astype(np.float32)
@@ -451,7 +456,11 @@ def test_bottleneck_fused_vs_oracle(rng, f, c, c_, shortcut, act):
         pre = pre + x.astype(np.float32) * rs
     scaled = pre * inv2
     sh = scaled + np.where(scaled >= 0, np.float32(0.5), np.float32(-0.5))
-    ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
+    ref = np.clip(np.trunc(sh), -128, 127)
+    if act == "LEAKY_RELU":
+        neg = np.maximum(np.trunc(ref * np.float32(0.01)), -128.0)
+        ref = np.where(ref > 0, ref, neg)
+    ref = ref.astype(np.int8)
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     tol = 0 if act == "RELU" else 1   # transcendental 1-ulp round flips
     assert diff.max() <= tol, (f, c, c_, act, diff.max())

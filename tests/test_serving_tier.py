@@ -61,9 +61,14 @@ def test_stage_plan_yolov5s():
     first = stem_convs[0].outputs[0]
     assert plan.stem_emit[first] == "qbf16"
     # yolov5's stage exit feeds the first C3's two 1x1 convs -> it
-    # stays qbf16 too (serving consumers cast in-kernel; round-3
-    # stage-exit optimization). Every stage conv emits qbf16 here.
-    assert set(plan.stem_emit.values()) == {"qbf16"}, plan.stem_emit
+    # emits qbf16x (bf16 values, exit fold layout; consumers cast
+    # in-kernel — round-3 stage-exit optimization), and the exit still
+    # seeds the downstream fold chain
+    assert set(plan.stem_emit.values()) == {"qbf16", "qbf16x"}, \
+        plan.stem_emit
+    exits = [o for o, e in plan.stem_emit.items() if e == "qbf16x"]
+    assert all(plan.f(o) > 1 for o in exits), \
+        [(o, plan.f(o)) for o in exits]
 
 
 @pytest.mark.parametrize("act", ["RELU", "NONE"])
@@ -354,3 +359,18 @@ def test_fast_silu_within_one_quantum_of_exact_silu(rng, monkeypatch):
     for k in fast2:
         d = np.abs(fast2[k].astype(np.int32) - exact2[k].astype(np.int32))
         assert d.mean() < 0.1 and d.max() <= 4, (k, d.max(), d.mean())
+
+
+def test_leaky_relu_serving_bit_exact(rng):
+    """LEAKY_RELU convs: serving == exact BIT FOR BIT. The reference
+    applies alpha on the already-requantized int8 value (C trunc,
+    mars_runtime.c:1078-1082); the serving epilogue must do the same —
+    applying alpha on the f32 pre-activation diverged by up to
+    alpha*128/out_scale quanta on saturated negatives, which compounds
+    into garbage on leaky-everywhere nets (the round-3 nanodet bug)."""
+    g = zoo.build_nanodet(zoo.ZooConfig(dtype="int8", in_hw=(64, 64)))
+    x = rng.integers(-100, 100, (1, 64, 64, 3), dtype=np.int8)
+    oe = Engine(g, EngineOptions(precision="exact")).run_np(x)
+    os_ = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    for k in oe:
+        np.testing.assert_array_equal(oe[k], os_[k])

@@ -68,7 +68,17 @@ def _sigmoid_fast(x):
     num = y * (jnp.float32(945.0) + jnp.float32(105.0) * y2 + y4)
     den = (jnp.float32(945.0) + jnp.float32(420.0) * y2
            + jnp.float32(15.0) * y4)
-    return jnp.float32(0.5) + jnp.float32(0.5) * (num / den)
+    try:
+        # in-kernel: hardware approximate reciprocal + one Newton step
+        # (exact f32 division is the slow op on the VPU; den is well
+        # conditioned in [945, 9103] so one refinement reaches ~1e-6
+        # relative, preserving the documented silu bound)
+        r = pl.reciprocal(den, approx=True)
+        r = r * (jnp.float32(2.0) - den * r)
+        t = num * r
+    except NotImplementedError:     # outside a pallas kernel
+        t = num / den
+    return jnp.float32(0.5) + jnp.float32(0.5) * t
 
 
 def _named(kernel, name: str):
@@ -99,18 +109,28 @@ def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
     pre = acc.astype(jnp.float32) * cs_row
     if act == "RELU":
         pre = jnp.maximum(pre, 0.0)
-    elif act == "LEAKY_RELU":
-        pre = jnp.where(pre >= 0, pre, jnp.float32(alpha) * pre)
     elif act == "SILU":
         pre = pre * jax.nn.sigmoid(pre)
     elif act == "SILU_FAST":
         pre = pre * _sigmoid_fast(pre)
     if res is not None:
+        assert act != "LEAKY_RELU", \
+            "leaky applies post-quantization; no fused residual"
         pre = pre + res.astype(jnp.float32) * jnp.float32(res_scale)
     scaled = pre * jnp.float32(inv_out)
     shifted = scaled + jnp.where(
         scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
-    return jnp.clip(jnp.trunc(shifted), -128, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.trunc(shifted), -128, 127)
+    if act == "LEAKY_RELU":
+        # the reference applies alpha AFTER requantization + clamp, on
+        # the int8 value with C float->int truncation
+        # (src/mars/mars_runtime.c:1078-1082; ops.reference.leaky_relu)
+        # — applying it on the f32 pre-activation diverges by up to
+        # alpha*|clamp range| / out_scale quanta on saturated negatives
+        # (found via the nanodet serving-vs-exact sweep, round 3)
+        neg = jnp.maximum(jnp.trunc(q * jnp.float32(alpha)), -128.0)
+        q = jnp.where(q > 0, q, neg)
+    return q.astype(jnp.int8)
 
 
 def _scale_rows(
@@ -126,7 +146,9 @@ def _scale_rows(
     if ws.ndim == 0:
         ws = jnp.full((n,), ws, jnp.float32)
     cs = jnp.float32(in_scale) * ws
-    if act in ("NONE", "RELU"):
+    if act in ("NONE", "RELU", "LEAKY_RELU"):
+        # LEAKY quantizes on the linear path first (alpha applies on
+        # the int8 domain in _epilogue, matching the reference)
         cs = cs / jnp.float32(out_scale)
         inv_out = 1.0
     else:
@@ -1402,21 +1424,25 @@ def conv2d_int8_stem_fused(
     ws = jnp.asarray(w_scale, jnp.float32)
     if ws.ndim == 0:
         ws = jnp.full((o,), ws, jnp.float32)
-    if act in ("NONE", "RELU"):
+    if act in ("NONE", "RELU", "LEAKY_RELU"):
+        # LEAKY quantizes linearly first — alpha applies on the int8
+        # domain below, matching the reference
+        # (src/mars/mars_runtime.c:1078-1082)
         pre = accf * (jnp.float32(in_scale) * ws / jnp.float32(out_scale))
         if act == "RELU":
             pre = jnp.maximum(pre, 0.0)
         scaled = pre
     else:
         pre = accf * (jnp.float32(in_scale) * ws)
-        if act == "LEAKY_RELU":
-            pre = jnp.where(pre >= 0, pre, jnp.float32(alpha) * pre)
-        elif act == "SILU":
+        if act == "SILU":
             pre = pre * jax.nn.sigmoid(pre)
         scaled = pre * jnp.float32(float(1.0 / np.float32(out_scale)))
     shifted = scaled + jnp.where(
         scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
     q = jnp.clip(jnp.trunc(shifted), -128, 127)
+    if act == "LEAKY_RELU":
+        neg = jnp.maximum(jnp.trunc(q * jnp.float32(alpha)), -128.0)
+        q = jnp.where(q > 0, q, neg)
     if emit == "qbf16":
         return q.astype(jnp.bfloat16)
     out = q.astype(jnp.int8)

@@ -302,7 +302,10 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
                 and c.attrs.get("kernel", (1, 1)) == (1, 1)
                 and c.attrs.get("stride", (1, 1)) == (1, 1)
                 for c in cons):
-            plan.stem_emit[out] = "qbf16"
+            # "qbf16x": bf16 VALUES but the EXIT fold layout — unlike
+            # stage-internal "qbf16", this tensor leaves the stage and
+            # must seed the downstream fold chain
+            plan.stem_emit[out] = "qbf16x"
 
     for node in nodes:
         out = node.outputs[0]
@@ -315,7 +318,7 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
             if out in plan.stem_stage:
                 if plan.stem_emit[out] == "qbf16":
                     continue   # no fold; stays bf16 inside the stage
-                # stage exit: seed the fold chain from the output
+                # stage exit (int8 or qbf16x): seed the fold chain
                 f = next((c for c in (4, 2)
                           if c * o <= 128 and ow % c == 0), 1)
             elif cin < 16:   # stem: seed the fold chain from the output
@@ -394,7 +397,11 @@ def _plan_epilogue_fusions(nodes, tensors, plan, consumers,
                 or out in plan.stem_stage:
             continue
         if node.attrs.get("activation", "NONE") not in (
-                "NONE", "RELU", "LEAKY_RELU", "SILU"):
+                "NONE", "RELU", "SILU"):
+            # LEAKY excluded: its alpha applies on the already-
+            # quantized int8 value (reference semantics), which is
+            # incompatible with the fused residual's pre-quantization
+            # add (ops.fused_kernels._epilogue)
             continue
         cons = consumers.get(out, [])
         if out in graph_outputs:
@@ -691,13 +698,12 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                 x, w, bias, out_hw, a["stride"], pads,
                 scale(node.inputs[0]), ws, scale(out_name),
                 act=stem_act, alpha=a.get("alpha", 0.01) or 0.01,
-                f_out=f_out, emit=emit)
-            if emit == "qbf16":
+                f_out=f_out,
+                emit="qbf16" if emit.startswith("qbf16") else "int8")
+            if emit.startswith("qbf16"):
                 # stage membership guarantees act in FK.ACTS (fused)
                 assert stem_act == act, (act, out_name)
-                if out_name not in plan.stem_stage or any(
-                        c.outputs[0] not in plan.stem_stage
-                        for c in plan.consumers.get(out_name, [])):
+                if emit == "qbf16x":
                     # qbf16 STAGE EXIT: serving 1x1 consumers take the
                     # integer-valued bf16 directly (dot_i8 casts in
                     # VMEM) — fold it so the layout contract matches;
