@@ -81,3 +81,28 @@ def test_stream_server_isolates_bad_batch():
     assert len(good) == 2
     assert server.stats.errors == 1
     assert server.stats.frames == 4
+
+
+def test_stream_server_isolates_materialization_failure():
+    """Failure injection at the DRAIN side (_drain_one): a batch whose
+    device buffer dies between dispatch and materialization (the async
+    analog of a device fault mid-flight) is isolated — None surfaced,
+    errors counted, the stream keeps serving (SURVEY §5 recovery)."""
+    base = jax.jit(lambda x: x * 2)
+    calls = {"n": 0}
+
+    def fn(x):
+        out = base(x)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            out.delete()       # block_until_ready will raise
+        return out
+
+    server = StreamServer(fn, depth=2)
+    batches = [np.full((2, 8), i, np.float32) for i in range(4)]
+    outs = list(server.run(iter(batches)))
+    good = [o for o in outs if o is not None]
+    assert len(outs) == 4 and len(good) == 3
+    assert server.stats.errors == 1
+    assert server.stats.frames == 6          # 3 good batches x 2
+    np.testing.assert_array_equal(np.asarray(good[-1]), batches[3] * 2)

@@ -60,15 +60,19 @@ def test_stage_plan_yolov5s():
     # first conv (RGB input) chains qbf16 into the second
     first = stem_convs[0].outputs[0]
     assert plan.stem_emit[first] == "qbf16"
-    # yolov5's stage exit feeds the first C3's two 1x1 convs -> it
-    # emits qbf16x (bf16 values, exit fold layout; consumers cast
-    # in-kernel — round-3 stage-exit optimization), and the exit still
-    # seeds the downstream fold chain
-    assert set(plan.stem_emit.values()) == {"qbf16", "qbf16x"}, \
-        plan.stem_emit
-    exits = [o for o, e in plan.stem_emit.items() if e == "qbf16x"]
-    assert all(plan.f(o) > 1 for o in exits), \
-        [(o, plan.f(o)) for o in exits]
+    # the stage exit emits folded int8 by default; with
+    # TAT_QBF16_EXIT=1 it stays bf16 (qbf16x) and still seeds the
+    # downstream fold chain (mechanism kept; default off — measured
+    # net-negative, docs/KERNELS.md)
+    exits = [o for o in plan.stem_emit if plan.stem_emit[o] == "int8"]
+    assert exits, plan.stem_emit
+    os.environ["TAT_QBF16_EXIT"] = "1"
+    try:
+        plan2 = _plan_folds(list(g.nodes), g.tensors, g.outputs)
+    finally:
+        del os.environ["TAT_QBF16_EXIT"]
+    exits2 = [o for o, e in plan2.stem_emit.items() if e == "qbf16x"]
+    assert exits2 and all(plan2.f(o) > 1 for o in exits2)
 
 
 @pytest.mark.parametrize("act", ["RELU", "NONE"])
@@ -100,17 +104,13 @@ def test_serving_silu_stem_close_to_exact(rng):
         assert d.mean() < 3.0, (k, d.mean(), d.max())
 
 
-def test_stem_stage_bitwise_equals_legacy_path(rng, monkeypatch):
+def test_stem_stage_bitwise_equals_legacy_path(rng):
     """The qbf16 stem stage must be a pure optimization: full yolov5n
     serving output is bit-identical with the stage disabled.
 
-    Pins TAT_EXACT_SILU: the stem runs SiLU in XLA (exp-exact) while
-    the legacy pallas path uses the rational fast-sigmoid epilogue —
-    this test isolates the stem-stage MECHANICS, so both sides must
-    use the same SiLU flavor."""
+    Both sides run the default exp-exact SiLU."""
     from thingino_accel_tpu.runtime import executor as EX
 
-    monkeypatch.setenv("TAT_EXACT_SILU", "1")
     g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64)))
     x = rng.integers(-64, 64, (1, 64, 64, 3), dtype=np.int8)
     with_stage = Engine(g, EngineOptions(precision="serving")).run_np(x)
@@ -342,10 +342,10 @@ def test_fast_silu_within_one_quantum_of_exact_silu(rng, monkeypatch):
     y = b.conv(x0, 32, 3, 1, act="SILU")
     g1 = b.finish([y])
     x = rng.integers(-100, 100, (1, 16, 16, 16), dtype=np.int8)
+    monkeypatch.setenv("TAT_FAST_SILU", "1")
     fast = Engine(g1, EngineOptions(precision="serving")).run_np(x)
-    monkeypatch.setenv("TAT_EXACT_SILU", "1")
+    monkeypatch.delenv("TAT_FAST_SILU")
     exact = Engine(g1, EngineOptions(precision="serving")).run_np(x)
-    monkeypatch.delenv("TAT_EXACT_SILU")
     for k in fast:
         d = np.abs(fast[k].astype(np.int32) - exact[k].astype(np.int32))
         assert d.max() <= 1, (k, d.max(), (d > 0).mean())
@@ -353,8 +353,9 @@ def test_fast_silu_within_one_quantum_of_exact_silu(rng, monkeypatch):
     # cascade (conv -> 1x1 -> 3x3 + residual): flips compound but stay
     # rare and small
     g2 = _bneck_graph("SILU", shortcut=True)
+    monkeypatch.setenv("TAT_FAST_SILU", "1")
     fast2 = Engine(g2, EngineOptions(precision="serving")).run_np(x)
-    monkeypatch.setenv("TAT_EXACT_SILU", "1")
+    monkeypatch.delenv("TAT_FAST_SILU")
     exact2 = Engine(g2, EngineOptions(precision="serving")).run_np(x)
     for k in fast2:
         d = np.abs(fast2[k].astype(np.int32) - exact2[k].astype(np.int32))

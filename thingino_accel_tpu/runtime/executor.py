@@ -47,13 +47,16 @@ def _is_int8(t: TensorInfo) -> bool:
 
 
 def _kernel_act(act: str) -> str:
-    """Serving-kernel activation name. SILU routes to the rational
-    fast-sigmoid epilogue (``ops.fused_kernels._sigmoid_fast``,
-    |silu err| < 6e-3 — under a tenth of a quantum at typical
-    out_scales) unless ``TAT_EXACT_SILU=1`` pins the exp path."""
+    """Serving-kernel activation name. ``TAT_FAST_SILU=1`` routes SILU
+    through the rational fast-sigmoid epilogue
+    (``ops.fused_kernels._sigmoid_fast``, |silu err| < 6e-3). Default
+    OFF: measured on a v5e, Mosaic's exp-based sigmoid is FASTER than
+    the Pade + Newton-reciprocal VPU sequence (every SILU kernel ran
+    8-30% slower with it — docs/KERNELS.md round-3 negative results),
+    so the exact path wins on both axes."""
     from thingino_accel_tpu.ops import fused_kernels as FK
     from thingino_accel_tpu.utils import config
-    if act == "SILU" and not config.get("TAT_EXACT_SILU"):
+    if act == "SILU" and config.get("TAT_FAST_SILU"):
         return "SILU_FAST"
     return act if act in FK.ACTS else "NONE"
 
@@ -295,7 +298,8 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
         if plan.stem_emit.get(out) != "int8" or out in graph_outputs:
             continue
         cons = consumers.get(out, [])
-        if cons and all(
+        from thingino_accel_tpu.utils import config as _cfg
+        if _cfg.get("TAT_QBF16_EXIT") and cons and all(
                 c.op == "CONV2D" and _conv_fold_eligible(c, tensors)
                 and c.inputs[0] == out and out not in c.inputs[1:]
                 and c.outputs[0] not in stage
@@ -304,7 +308,12 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
                 for c in cons):
             # "qbf16x": bf16 VALUES but the EXIT fold layout — unlike
             # stage-internal "qbf16", this tensor leaves the stage and
-            # must seed the downstream fold chain
+            # must seed the downstream fold chain. Default OFF
+            # (TAT_QBF16_EXIT): XLA materializes the conv's f32
+            # accumulator either way, so the bf16 exit only widens the
+            # convert pass (55.3 vs 45.7 us/frame measured) — kept as
+            # the tested mechanism for stems whose consumers could
+            # fuse the convert (docs/KERNELS.md round-3 negatives)
             plan.stem_emit[out] = "qbf16x"
 
     for node in nodes:

@@ -51,6 +51,10 @@ _register("TAT_BENCH_EXACT", False, _bool,
 _register("TAT_TPU_TESTS", False, _bool,
           "let the test suite target real TPU hardware")
 _register("TAT_LOG", "warn", str, "log level: debug|info|warn|error")
-_register("TAT_EXACT_SILU", False, _bool,
-          "serving tier: exp-exact SiLU epilogue instead of the "
-          "rational fast-sigmoid (|silu err| < 6e-3)")
+_register("TAT_FAST_SILU", False, _bool,
+          "serving tier: rational fast-sigmoid SiLU epilogue "
+          "(|silu err| < 6e-3); default off — Mosaic's exp sigmoid "
+          "measured faster on v5e")
+_register("TAT_QBF16_EXIT", False, _bool,
+          "serving tier: bf16 stem-stage exits consumed in-kernel; "
+          "default off (measured net-negative on v5e)")
