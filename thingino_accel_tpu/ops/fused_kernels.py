@@ -1087,7 +1087,7 @@ def fold_layout(x: jax.Array, f: int) -> jax.Array:
 
 
 def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
-                  cs2_ref, out_ref, m_ref, *,
+                  cs2_ref, out_ref, *,
                   k: int, qw2: int, q_shift: int, tile_h: int, ow_g: int,
                   oh_img: int, wg_img: int,
                   act1: str, inv1: float, alpha1: float,
@@ -1112,20 +1112,17 @@ def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
     valid = ((r_img >= 0) & (r_img < oh_img)
              & (c_grp >= q_shift) & (c_grp < q_shift + wg_img))
     m = jnp.where(valid, m, jnp.int8(0))
-    # stage m through per-qx PRE-SHIFTED scratch buffers: a tap window
-    # [dy:dy+tile_h, qx:qx+ow_g] starts at sublane offset qx in the
-    # (w, c) tiling, and Mosaic pays a vector rotate on every such
-    # operand load — 9 rotated loads per cell. Writing the qw2 shifted
-    # views once makes every tap read aligned (dim-0/dim-1 outer
-    # slices only): measured 142 -> 210 TOP/s on the stripped kernel
-    # at 80x80x128 (docs/KERNELS.md round 3 anatomy).
-    for qx in range(qw2):
-        m_ref[qx] = m[:, qx:qx + ow_g, :]
-
+    # tap windows slice the live value. Tried and reverted (round 3):
+    # staging m through per-qx pre-shifted VMEM scratch buffers wins
+    # on a stripped RELU kernel (142 -> 210 TOP/s: each [.., qx:qx+ow]
+    # window starts at sublane offset qx and costs a vector rotate)
+    # but LOSES 3-5% on the production SiLU kernels in the full model
+    # — the qw2 scratch copies cost more than the rotations they save
+    # once the epilogue dominates (docs/KERNELS.md round-3 addenda).
     acc = None
     for dy in range(k):
         for qx in range(qw2):
-            t_ = m_ref[qx, dy:dy + tile_h]
+            t_ = m[dy:dy + tile_h, qx:qx + ow_g, :]
             p = dot_i8(t_.reshape(tile_h * ow_g, cm),
                        w2_ref[dy * qw2 + qx])
             acc = p if acc is None else acc + p
@@ -1255,8 +1252,6 @@ def bottleneck_int8_fused(
             (1, tile_h, ow_g, op), lambda ni, ti: (ni, ti, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (n, n_tiles_h * tile_h, ow_g, op), jnp.int8),
-        scratch_shapes=[
-            pltpu.VMEM((qw2, halo_rows, ow_g, cm_p), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )(x_p, w1m, b1r, cs1, w2m, b2r, cs2)
