@@ -455,7 +455,17 @@ def silu(
     requantizes once — faster, ≤1 quantum difference.
     """
     if not jnp.issubdtype(x.dtype, jnp.integer):
-        # compute in the activation dtype (bf16 stays bf16 on the VPU)
+        # compute in the activation dtype (bf16 stays bf16 on the VPU).
+        # TAT_SILU_TANH: sigmoid(x) = 0.5*(tanh(x/2)+1) — same function
+        # with no divide. Measured NEGATIVE on v5e (3,940 vs 4,008 fps
+        # e2e): the conv+SiLU fusions are memory-bound, so removing
+        # the divide doesn't pay (consistent with the round-2
+        # SiLU<->RELU <3% experiment). Kept for other topologies.
+        from thingino_accel_tpu.utils import config as _cfg
+        if _cfg.get("TAT_SILU_TANH"):
+            half = jnp.asarray(0.5, x.dtype)
+            one = jnp.asarray(1.0, x.dtype)
+            return x * (half * (jnp.tanh(x * half) + one))
         return x * jax.nn.sigmoid(x)
     if fuse:
         xf = x.astype(jnp.float32) * jnp.float32(in_scale)

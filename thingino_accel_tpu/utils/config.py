@@ -55,6 +55,9 @@ _register("TAT_FAST_SILU", False, _bool,
           "serving tier: rational fast-sigmoid SiLU epilogue "
           "(|silu err| < 6e-3); default off — Mosaic's exp sigmoid "
           "measured faster on v5e")
+_register("TAT_SILU_TANH", False, _bool,
+          "fast tier: tanh-form sigmoid in f32/bf16 SiLU "
+          "(no divide in the conv+SiLU fusion)")
 _register("TAT_QBF16_EXIT", False, _bool,
           "serving tier: bf16 stem-stage exits consumed in-kernel; "
           "default off (measured net-negative on v5e)")
