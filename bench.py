@@ -74,6 +74,8 @@ def build_pipeline(batch: int, size: str):
     in_t = eng.graph.tensors[in_name]
     in_hw = (in_t.shape[1], in_t.shape[2])
 
+    post = os.environ.get("TAT_BENCH_POST", "parse")
+
     @jax.jit
     def pipeline(frames_u8):
         lb = yolo.letterbox_uint8(frames_u8, in_hw)
@@ -84,6 +86,14 @@ def build_pipeline(batch: int, size: str):
             lb, dtype=jnp.bfloat16 if precision == "fast" else jnp.int8)
         feats = body(params, {in_name: x})
         heads = [feats[k] for k in out_names]
+        if post == "topk":
+            # single-pass confidences + survivor-only box decode.
+            # Measured SLOWER e2e than decode_and_parse (3,622 vs
+            # 4,008 fps, v5e round 3): XLA fuses the full decode into
+            # the head producers, while this path's gathers don't fuse.
+            dets = yolo.detect_postprocess_topk(
+                heads, scales=out_scales, max_dets=100)
+            return dets.boxes, dets.scores, dets.classes, dets.valid
         # int8 heads decode directly (scales applied on the consumed
         # channels only) — one 1-byte HBM pass instead of f32 copies
         boxes, scores, classes = yolo.decode_and_parse(
