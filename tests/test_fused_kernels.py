@@ -485,3 +485,89 @@ def test_bottleneck_fused_lane_padded_parts(rng):
     acc2 = _conv_acc(m, w2, (1, 1), ((1, 1), (1, 1)))
     ref = _oracle(acc2, None, m_s, w2s, out_s, "RELU")
     np.testing.assert_array_equal(got[..., :o], ref)
+
+
+# ---------------------------------------------------------------------------
+# bf16 compute mode (int8 HBM I/O, in-VMEM cast, f32 MXU accumulation)
+# ---------------------------------------------------------------------------
+#
+# For K*K*C <= 1024 the f32 accumulator carries the same integer value
+# as the int8 path's int32 accumulator (int8 values are exact in bf16;
+# products exact in the f32 MAC; |acc| < 2^24), and the epilogue
+# arithmetic is shared — so the two compute modes must be BIT equal.
+
+
+@pytest.mark.parametrize("act", ["NONE", "RELU", "SILU"])
+def test_matmul_bf16_compute_bit_equal(rng, act):
+    m, k, n = 48, 256, 72
+    x = jnp.asarray(rng.integers(-128, 128, (m, k), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (k, n), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-3000, 3000, (n,), dtype=np.int32))
+    a = FK.matmul_int8_fused(x, w, b, 0.02, 0.015, 0.05, act=act,
+                             compute="int8")
+    g = FK.matmul_int8_fused(x, w, b, 0.02, 0.015, 0.05, act=act,
+                             compute="bf16")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+
+def test_conv_folded_bf16_compute_bit_equal(rng):
+    c, o, h, w = 64, 48, 16, 16
+    x = rng.integers(-128, 128, (1, h, w, c), dtype=np.int8)
+    wt = rng.integers(-128, 128, (3, 3, c, o), dtype=np.int8)
+    b = rng.integers(-2000, 2000, (o,), dtype=np.int32)
+    args = (jnp.asarray(x), jnp.asarray(wt), jnp.asarray(b), (h, w), 1,
+            ((1, 1), (1, 1)), 0.03, 0.02, 0.07)
+    a = np.asarray(FK.conv2d_int8_folded(*args, act="SILU",
+                                         compute="int8"))
+    g = np.asarray(FK.conv2d_int8_folded(*args, act="SILU",
+                                         compute="bf16"))
+    np.testing.assert_array_equal(a, g)
+
+
+def test_bottleneck_bf16_compute_bit_equal(rng):
+    c, c_, o = 64, 32, 64
+    h = w = 12
+    x = rng.integers(-110, 110, (1, h, w, c), dtype=np.int8)
+    w1 = rng.integers(-64, 64, (1, 1, c, c_), dtype=np.int8)
+    w2 = rng.integers(-64, 64, (3, 3, c_, o), dtype=np.int8)
+    scales = dict(w1_scale=0.02, m_scale=0.06, w2_scale=0.015,
+                  out_scale=0.09, in_scale=0.04)
+    outs = {}
+    for mode in ("int8", "bf16"):
+        outs[mode] = np.asarray(FK.bottleneck_int8_fused(
+            jnp.asarray(x), jnp.asarray(w1), None,
+            scales["w1_scale"], scales["m_scale"],
+            jnp.asarray(w2), None, scales["w2_scale"],
+            scales["out_scale"], scales["in_scale"], (h, w),
+            act1="SILU", act2="SILU", shortcut=True, compute=mode))
+    np.testing.assert_array_equal(outs["int8"], outs["bf16"])
+
+
+def test_sppf_bf16_compute_close(rng):
+    # 4 part-dots of C=256 each: per-part sums are exact; the f32
+    # cross-part accumulation can round once past 2^24 -> tol 1
+    c, o, h, w = 256, 128, 8, 8
+    x = rng.integers(-128, 128, (1, h, w, c), dtype=np.int8)
+    wt = rng.integers(-128, 128, (1, 1, 4 * c, o), dtype=np.int8)
+    args = (jnp.asarray(x), jnp.asarray(wt), None, 5, 0.03, 0.02, 0.08)
+    a = np.asarray(FK.sppf_int8_fused(*args, act="SILU",
+                                      compute="int8"))
+    g = np.asarray(FK.sppf_int8_fused(*args, act="SILU",
+                                      compute="bf16"))
+    diff = np.abs(a.astype(np.int32) - g.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_serving_compute_env_knob(rng, monkeypatch):
+    """TAT_SERVING_COMPUTE resolves at trace time for every kernel
+    entry point (the executor passes no explicit compute)."""
+    monkeypatch.setenv("TAT_SERVING_COMPUTE", "bf16")
+    m, k, n = 16, 128, 32
+    x = jnp.asarray(rng.integers(-128, 128, (m, k), dtype=np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (k, n), dtype=np.int8))
+    env_out = np.asarray(FK.matmul_int8_fused(x, w, None, 0.02, 0.01,
+                                              0.05, act="RELU"))
+    monkeypatch.delenv("TAT_SERVING_COMPUTE")
+    exp = np.asarray(FK.matmul_int8_fused(x, w, None, 0.02, 0.01, 0.05,
+                                          act="RELU", compute="bf16"))
+    np.testing.assert_array_equal(env_out, exp)

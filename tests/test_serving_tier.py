@@ -375,3 +375,32 @@ def test_leaky_relu_serving_bit_exact(rng):
     os_ = Engine(g, EngineOptions(precision="serving")).run_np(x)
     for k in oe:
         np.testing.assert_array_equal(oe[k], os_[k])
+
+
+def test_serving_bf16_compute_bitwise_equals_int8(rng, monkeypatch):
+    """TAT_SERVING_COMPUTE=bf16 (int8 I/O, bf16 MXU, f32 accumulation)
+    is bit-identical to the int8-compute serving tier on graphs whose
+    convs satisfy K*K*C <= 1024 (exact f32 accumulation range) — the
+    compute dtype must be a pure perf knob there."""
+    g = _stem_graph("SILU")
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    base = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    monkeypatch.setenv("TAT_SERVING_COMPUTE", "bf16")
+    got = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    for k in base:
+        np.testing.assert_array_equal(base[k], got[k])
+
+
+def test_serving_bf16_compute_yolov5n_close(rng, monkeypatch):
+    """Full yolov5n plan (bottleneck/SPPF/concat fusions active) under
+    bf16 compute: wide convs exceed the exact-accumulation bound, so
+    allow quantum-level drift only."""
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8",
+                                            in_hw=(160, 160)))
+    x = rng.integers(-128, 128, (1, 160, 160, 3), dtype=np.int8)
+    base = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    monkeypatch.setenv("TAT_SERVING_COMPUTE", "bf16")
+    got = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    for k in base:
+        d = np.abs(base[k].astype(np.int32) - got[k].astype(np.int32))
+        assert d.max() <= 1, (k, d.max(), (d > 0).mean())

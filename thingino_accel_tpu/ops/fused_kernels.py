@@ -41,10 +41,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from thingino_accel_tpu.ops.pallas_kernels import (
-    _PL_ELEMENT, _cdiv, _round_up, dot_i8,
+    _PL_ELEMENT, _cdiv, _round_up, dot_bf16, dot_i8,
 )
 
 ACTS = ("NONE", "RELU", "LEAKY_RELU", "SILU", "SILU_FAST")
+
+COMPUTES = ("int8", "bf16")
+
+
+def _compute_mode(compute: Optional[str]) -> str:
+    """Resolve the MXU compute dtype for the serving kernels.
+
+    ``int8`` (default): int8 x int8 -> int32 MACs — always exact.
+    ``bf16``: int8 VALUES cast to bf16 in VMEM, MACed on the f32
+    accumulator — exact while K*K*C <= 1024 (|acc| < 2^24); HBM I/O
+    stays int8 either way, so tensors/scales/fold plans are
+    unchanged. Selected per call or process-wide via
+    ``TAT_SERVING_COMPUTE`` (resolved at trace time, like
+    ``TAT_FAST_SILU``)."""
+    if compute is None:
+        from thingino_accel_tpu.utils import config
+        compute = config.get("TAT_SERVING_COMPUTE")
+    assert compute in COMPUTES, compute
+    return compute
+
+
+def _dot_c(a, b, compute: str):
+    """Tap/matmul dot in the tier's compute dtype (see _compute_mode).
+    ``b`` (weights) is pre-cast outside the kernel in bf16 mode; ``a``
+    is cast here, in VMEM — the cast is the entire dequantization
+    (scales ride in the epilogue rows either way)."""
+    if compute == "bf16":
+        return dot_bf16(a, b)
+    return dot_i8(a, b)
 
 
 def _sigmoid_fast(x):
@@ -95,9 +124,10 @@ def _named(kernel, name: str):
 
 def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
               alpha: float, res=None, res_scale: float = 1.0):
-    """int32 accumulator tile -> int8, entirely in registers/VMEM.
+    """Accumulator tile -> int8, entirely in registers/VMEM.
 
-    acc: [M, N] int32; bias_row/cs_row: [1, N] (broadcast rows).
+    acc: [M, N] int32 (int8 compute) or f32 (bf16 compute);
+    bias_row/cs_row: [1, N] (broadcast rows).
     Round rule: half away from zero (the reference conv rule,
     ``src/mars/mxu_conv.c:222-229``).
 
@@ -105,8 +135,15 @@ def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
     the f32 value (serving-tier fused ADD — one fewer intermediate
     quantization than the interpreter's conv->requant->add chain).
     """
-    acc = acc + bias_row.astype(jnp.int32)
-    pre = acc.astype(jnp.float32) * cs_row
+    if acc.dtype == jnp.int32:
+        acc = acc + bias_row.astype(jnp.int32)
+        pre = acc.astype(jnp.float32) * cs_row
+    else:
+        # bf16-compute path: acc is the f32 MXU accumulator carrying
+        # the same integer value as the int32 path (exact while
+        # |acc| < 2^24), so the epilogue arithmetic below is
+        # bit-identical between compute modes in that range
+        pre = (acc + bias_row.astype(jnp.float32)) * cs_row
     if act == "RELU":
         pre = jnp.maximum(pre, 0.0)
     elif act == "SILU":
@@ -165,15 +202,16 @@ def _scale_rows(
 
 
 def _mm_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, acc_ref, *,
-               n_k: int, act: str, inv_out: float, alpha: float):
+               n_k: int, act: str, inv_out: float, alpha: float,
+               compute: str = "int8"):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += dot_i8(
-        x_ref[:], w_ref[:])
+    acc_ref[:] += _dot_c(
+        x_ref[:], w_ref[:], compute)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -192,6 +230,7 @@ def matmul_int8_fused(
     block_n: int = 256,
     block_k: int = 512,
     keep_phys: bool = False,
+    compute: Optional[str] = None,
 ) -> jax.Array:
     """``int8 = requant(act((x@w + b) * s))`` with per-channel ``w_scale``
     support; accumulator resident in VMEM across the K loop.
@@ -213,13 +252,20 @@ def matmul_int8_fused(
     if (m, n, k) != (mp, np_, kp):
         x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
         w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    compute = _compute_mode(compute)
+    if compute == "bf16":
+        # weights pre-cast OUTSIDE the kernel: blocks are fetched once
+        # per pallas_call (revisit detection) but the kernel body runs
+        # per grid cell — an in-kernel cast would convert per cell
+        w = w.astype(jnp.bfloat16)
     b, cs, inv_out = _scale_rows(
         bias, w_scale, in_scale, out_scale, act, n, np_)
 
     n_k = _cdiv(kp, block_k)
     grid = (_cdiv(mp, block_m), _cdiv(np_, block_n), n_k)
     kernel = _named(functools.partial(
-        _mm_kernel, n_k=n_k, act=act, inv_out=inv_out, alpha=alpha),
+        _mm_kernel, n_k=n_k, act=act, inv_out=inv_out, alpha=alpha,
+        compute=compute),
         f"mm_{m}x{n}x{k}_{act}")
     out = pl.pallas_call(
         kernel,
@@ -233,7 +279,9 @@ def matmul_int8_fused(
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(
+            (block_m, block_n),
+            jnp.float32 if compute == "bf16" else jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(x, w, b, cs)
@@ -254,7 +302,8 @@ def matmul_int8_fused(
 def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
                      part_scales, bias_scale: float, act: str,
                      inv_out: float, alpha: float,
-                     has_res: bool, res_scale: float):
+                     has_res: bool, res_scale: float,
+                     compute: str = "int8"):
     xs = refs[:n_parts]
     ws = refs[n_parts:2 * n_parts]
     bias_ref = refs[2 * n_parts]
@@ -263,8 +312,8 @@ def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
     out_ref = refs[2 * n_parts + 2 + int(has_res)]
 
     def dot(i):
-        return dot_i8(
-            xs[i][:], ws[i][:])
+        return _dot_c(
+            xs[i][:], ws[i][:], compute)
 
     if same_scale:
         acc = dot(0)
@@ -315,6 +364,7 @@ def matmul_int8_fused_multi(
     block_m: Optional[int] = None,
     block_n: int = 256,
     keep_phys: bool = False,
+    compute: Optional[str] = None,
 ) -> jax.Array:
     """``requant(act((sum_i x_i @ w_i) * s) [+ r*sr])`` — the fused
     lowering of CONCAT -> 1x1 CONV [-> ADD]. Parts' K dims are padded
@@ -332,14 +382,16 @@ def matmul_int8_fused_multi(
     block_m = min(_round_up(block_m, 8), mp)
     block_n = min(_round_up(block_n, 128), np_)
 
+    compute = _compute_mode(compute)
     xs_p, ws_p = [], []
     for x, w in zip(xs, ws):
         k = x.shape[1]
         kp = _round_up(k, 128)
         xs_p.append(jnp.pad(x, ((0, mp - m), (0, kp - k)))
                     if (m, k) != (mp, kp) else x)
-        ws_p.append(jnp.pad(w, ((0, kp - k), (0, np_ - n)))
-                    if (k, n) != (kp, np_) else w)
+        wp = jnp.pad(w, ((0, kp - k), (0, np_ - n))) \
+            if (k, n) != (kp, np_) else w
+        ws_p.append(wp.astype(jnp.bfloat16) if compute == "bf16" else wp)
 
     if bias_scale is None:
         bias_scale = float(in_scales[0])
@@ -393,7 +445,7 @@ def matmul_int8_fused_multi(
         part_scales=[float(s) for s in in_scales],
         bias_scale=float(bias_scale), act=act,
         inv_out=inv_out, alpha=alpha, has_res=has_res,
-        res_scale=res_scale_eff),
+        res_scale=res_scale_eff, compute=compute),
         f"mmc_{m}x{n}_{n_parts}p_{act}{'_res' if has_res else ''}")
     out = pl.pallas_call(
         kernel,
@@ -430,7 +482,8 @@ def matmul_int8_fused_multi(
 
 def _halo_kernel(*refs, kh: int, qw: int, s: int, tile_h: int, ow: int,
                  act: str, inv_out: float, alpha: float,
-                 has_res: bool = False, res_scale: float = 1.0):
+                 has_res: bool = False, res_scale: float = 1.0,
+                 compute: str = "int8"):
     # refs: x, w, bias, cs, [res], out
     # x_ref: [1, halo_pairs, s, Wq, Cq] — rows pre-split into (row/s, s)
     # phases by a FREE reshape outside the kernel (untiled dims).
@@ -440,13 +493,18 @@ def _halo_kernel(*refs, kh: int, qw: int, s: int, tile_h: int, ow: int,
     out_ref = refs[4 + int(has_res)]
     cq = x_ref.shape[4]
     slab = x_ref[0]                                    # [pairs, s, Wq, Cq]
+    if compute == "bf16":
+        # one whole-slab cast; taps then slice bf16 data (weights
+        # arrive pre-cast) — avoids kh*qw redundant converts of the
+        # overlapping tap windows
+        slab = slab.astype(jnp.bfloat16)
     acc = None
     for dy in range(kh):
         qy, py = divmod(dy, s)
         for qx in range(qw):
             sl = slab[qy:qy + tile_h, py, qx:qx + ow, :]   # [tile_h, ow, Cq]
-            p = dot_i8(
-                sl.reshape(tile_h * ow, cq), w_ref[dy * qw + qx])
+            p = _dot_c(
+                sl.reshape(tile_h * ow, cq), w_ref[dy * qw + qx], compute)
             acc = p if acc is None else acc + p
     res = res_ref[0].reshape(tile_h * ow, -1) if has_res else None
     q = _epilogue(acc, bias_ref[:], cs_ref[:],
@@ -576,7 +634,7 @@ def conv2d_int8_halo_fused(
 
 def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
                  hw: Tuple[int, int], k: int, act: str, inv_out: float,
-                 alpha: float):
+                 alpha: float, compute: str = "int8"):
     # x_ref: [1, H, W, Cp]; w_ref: [4, Cp, block_n]; buf: VMEM scratch
     # [H+2p, W+2p, Cp] used as the padded workspace for each pool level.
     h, w = hw
@@ -606,11 +664,13 @@ def _sppf_kernel(x_ref, w_ref, bias_ref, cs_ref, out_ref, buf, *,
     m1 = pool(y0.astype(jnp.int32))
     m2 = pool(m1)
     m3 = pool(m2)
+    lvl_dtype = jnp.bfloat16 if compute == "bf16" else jnp.int8
     acc = None
-    for i, z in enumerate((y0, m1.astype(jnp.int8),
-                           m2.astype(jnp.int8), m3.astype(jnp.int8))):
-        d = dot_i8(
-            z.reshape(h * w, cq), w_ref[i])
+    for i, z in enumerate((y0.astype(lvl_dtype) if compute == "bf16"
+                           else y0, m1.astype(lvl_dtype),
+                           m2.astype(lvl_dtype), m3.astype(lvl_dtype))):
+        d = _dot_c(
+            z.reshape(h * w, cq), w_ref[i], compute)
         acc = d if acc is None else acc + d
     q = _epilogue(acc, bias_ref[:], cs_ref[:], act=act,
                   inv_out=inv_out, alpha=alpha)
@@ -627,6 +687,7 @@ def sppf_int8_fused(
     alpha: float = 0.01,
     block_n: int = 512,
     keep_phys: bool = False,
+    compute: Optional[str] = None,
 ) -> jax.Array:
     """SPPF tail: ``cv2(concat(x, m1, m2, m3))`` with
     ``m_{i+1} = maxpool_kxk/1(m_i)`` — pools in VMEM (separable,
@@ -645,13 +706,17 @@ def sppf_int8_fused(
                     constant_values=-128)   # pad lanes can't win a max
     wm = jnp.asarray(w_hwio).reshape(4, c, o)
     wk = jnp.pad(wm, ((0, 0), (0, cp - c), (0, op - o)))
+    compute = _compute_mode(compute)
+    if compute == "bf16":
+        wk = wk.astype(jnp.bfloat16)
     b, cs, inv_out = _scale_rows(bias, w_scale, in_scale, out_scale,
                                  act, o, op)
 
     grid = (n, _cdiv(op, block_n))
     kernel = _named(functools.partial(
         _sppf_kernel, hw=(h, w), k=pool_k, act=act, inv_out=inv_out,
-        alpha=alpha), f"sppf{pool_k}_{h}x{w}x{cp}o{op}_{act}")
+        alpha=alpha, compute=compute),
+        f"sppf{pool_k}_{h}x{w}x{cp}o{op}_{act}")
     out = pl.pallas_call(
         kernel,
         name=getattr(kernel, '__name__', None),
@@ -874,6 +939,7 @@ def conv2d_int8_folded(
     pipeline: str = "blockspec",  # "blockspec" | "dma" (manual 2-slot)
     residual: Optional[jax.Array] = None,  # folded [N, OH, OWg, >=f*O]
     res_scale: float = 1.0,
+    compute: Optional[str] = None,
 ) -> jax.Array:
     """Folded-layout conv: consumes [N, H, Wg, g*C], emits
     [N, OH, OWg, f_out*O] (or lane-padded with ``keep_phys``). One
@@ -887,6 +953,7 @@ def conv2d_int8_folded(
     oh, ow = logical_out_hw
     ow_g = _cdiv(ow, f_out)
     (pt, pb), (pl_, pr) = pads
+    compute = _compute_mode(compute)
 
     if kh == kw == 1 and s == 1 and pl_ == 0 and pt == 0:
         # 1x1: one flat matmul over B*H*Wg rows — the halo grid's
@@ -903,12 +970,14 @@ def conv2d_int8_folded(
                 jnp.tile(b0, f_out), [in_scale], jnp.tile(ws, f_out),
                 out_scale, act=act, alpha=alpha,
                 residual=residual.reshape(n * h * wg, -1),
-                res_scale=res_scale, keep_phys=keep_phys)
+                res_scale=res_scale, keep_phys=keep_phys,
+                compute=compute)
         else:
             out = matmul_int8_fused(
                 x_folded.reshape(n * h * wg, gc), jnp.asarray(wm),
                 jnp.tile(b0, f_out), in_scale, jnp.tile(ws, f_out),
-                out_scale, act=act, alpha=alpha, keep_phys=keep_phys)
+                out_scale, act=act, alpha=alpha, keep_phys=keep_phys,
+                compute=compute)
         return out.reshape(n, h, wg, -1)
 
     wk, q_shift, qw = repack_weights_folded(
@@ -921,6 +990,11 @@ def conv2d_int8_folded(
     wk = wk.reshape(kh * qw, wk.shape[2], no)
     wk = jnp.pad(jnp.asarray(wk), ((0, 0), (0, cp - wk.shape[1]),
                                    (0, op - no)))
+    if compute == "bf16":
+        if pipeline == "dma":
+            raise ValueError("bf16 compute not supported on the dma "
+                             "pipeline variant")
+        wk = wk.astype(jnp.bfloat16)
 
     # bias / combined-scale rows tiled across output phases
     ws = jnp.asarray(w_scale, jnp.float32)
@@ -1005,9 +1079,11 @@ def conv2d_int8_folded(
     kernel = _named(functools.partial(
         _halo_kernel, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow_g,
         act=act, inv_out=inv_out, alpha=alpha,
-        has_res=residual is not None, res_scale=res_scale_eff),
+        has_res=residual is not None, res_scale=res_scale_eff,
+        compute=compute),
         f"halo{kh}x{qw}s{s}_{oh}x{ow_g}x{cp}o{op}_{act}"
-        f"{'_res' if residual is not None else ''}")
+        f"{'_res' if residual is not None else ''}"
+        f"{'_bf16' if compute == 'bf16' else ''}")
     in_specs = [
         pl.BlockSpec(
             (_PL_ELEMENT(1), _PL_ELEMENT(halo_pairs), _PL_ELEMENT(s),
@@ -1092,15 +1168,19 @@ def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
                   oh_img: int, wg_img: int,
                   act1: str, inv1: float, alpha1: float,
                   act2: str, inv2: float, alpha2: float,
-                  has_res: bool, res_scale: float):
+                  has_res: bool, res_scale: float,
+                  compute: str = "int8"):
     ti = pl.program_id(1)
     hh = (k - 1) // 2
     slab = x_ref[0]                       # [halo_rows, wq_tot, cp]
     halo_rows, wq_tot, cp = slab.shape
     cm = w1_ref.shape[-1]                 # padded m lanes
+    if compute == "bf16":
+        slab = slab.astype(jnp.bfloat16)
 
     # 1x1 over the full slab extent (incl. pad rows/cols: masked below)
-    acc1 = dot_i8(slab.reshape(halo_rows * wq_tot, cp), w1_ref[0])
+    acc1 = _dot_c(slab.reshape(halo_rows * wq_tot, cp), w1_ref[0],
+                  compute)
     m = _epilogue(acc1, b1_ref[:], cs1_ref[:],
                   act=act1, inv_out=inv1, alpha=alpha1)
     m = m.reshape(halo_rows, wq_tot, cm)
@@ -1112,6 +1192,8 @@ def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
     valid = ((r_img >= 0) & (r_img < oh_img)
              & (c_grp >= q_shift) & (c_grp < q_shift + wg_img))
     m = jnp.where(valid, m, jnp.int8(0))
+    if compute == "bf16":
+        m = m.astype(jnp.bfloat16)   # one cast; taps slice bf16 data
     # tap windows slice the live value. Tried and reverted (round 3):
     # staging m through per-qx pre-shifted VMEM scratch buffers wins
     # on a stripped RELU kernel (142 -> 210 TOP/s: each [.., qx:qx+ow]
@@ -1123,8 +1205,8 @@ def _bneck_kernel(x_ref, w1_ref, b1_ref, cs1_ref, w2_ref, b2_ref,
     for dy in range(k):
         for qx in range(qw2):
             t_ = m[dy:dy + tile_h, qx:qx + ow_g, :]
-            p = dot_i8(t_.reshape(tile_h * ow_g, cm),
-                       w2_ref[dy * qw2 + qx])
+            p = _dot_c(t_.reshape(tile_h * ow_g, cm),
+                       w2_ref[dy * qw2 + qx], compute)
             acc = p if acc is None else acc + p
     res = None
     if has_res:
@@ -1152,6 +1234,7 @@ def bottleneck_int8_fused(
     shortcut: bool = False,       # fuse ``+ x`` into the 2nd epilogue
     tile_h: Optional[int] = None,
     keep_phys: bool = False,
+    compute: Optional[str] = None,
 ) -> jax.Array:
     """Fused ``requant(act2(convKxK(requant(act1(conv1x1(x)))))[+x])``
     with the intermediate resident in VMEM. SAME padding, stride 1,
@@ -1182,6 +1265,10 @@ def bottleneck_int8_fused(
     op = _round_up(no, 128)
     w2m = jnp.pad(jnp.asarray(w2k).reshape(k * qw2, cm_log, no),
                   ((0, 0), (0, cm_p - cm_log), (0, op - no)))
+    compute = _compute_mode(compute)
+    if compute == "bf16":
+        w1m = w1m.astype(jnp.bfloat16)
+        w2m = w2m.astype(jnp.bfloat16)
     if shortcut and cp != op:
         raise ValueError("fused residual needs matching phys lanes "
                          f"(x {cp} vs out {op})")
@@ -1229,9 +1316,10 @@ def bottleneck_int8_fused(
         ow_g=ow_g, oh_img=oh, wg_img=wg,
         act1=act1, inv1=inv1, alpha1=alpha1,
         act2=act2, inv2=inv2, alpha2=alpha2,
-        has_res=shortcut, res_scale=res_scale_eff),
+        has_res=shortcut, res_scale=res_scale_eff, compute=compute),
         f"bneck{k}_{oh}x{ow_g}x{cp}m{cm_p}o{op}_{act2}"
-        f"{'_res' if shortcut else ''}")
+        f"{'_res' if shortcut else ''}"
+        f"{'_bf16' if compute == 'bf16' else ''}")
     out = pl.pallas_call(
         kernel,
         name=getattr(kernel, '__name__', None),

@@ -59,6 +59,28 @@ def dot_i8(a, b, dims=(((1,), (0,)), ((), ()))):
         precision=jax.lax.Precision.DEFAULT)
 
 
+def dot_bf16(a, b, dims=(((1,), (0,)), ((), ()))):
+    """bf16 x bf16 -> f32 dot for Mosaic kernels.
+
+    The serving tier's ``compute="bf16"`` mode: operands carry int8
+    VALUES (cast in VMEM — exact, bf16's 8-bit significand covers
+    [-128, 127]) and the MXU MACs them on the f32 accumulator, where
+    each int8 x int8 product is exact and sums stay exact while
+    |acc| < 2^24 (K*K*C <= 1024 worst-case). I/O to HBM stays int8;
+    only the MXU issue rate differs from :func:`dot_i8` (197 vs 394
+    TOP/s peak on v5e) — but bf16 operands skip Mosaic's int8
+    vector-op widening on misaligned tap loads, which is what holds
+    the int8 kernels far below even the bf16 peak (docs/KERNELS.md
+    round-3 anatomy)."""
+    if a.dtype != jnp.bfloat16:
+        a = a.astype(jnp.bfloat16)
+    if b.dtype != jnp.bfloat16:
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
 def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 

@@ -58,6 +58,10 @@ _register("TAT_FAST_SILU", False, _bool,
 _register("TAT_SILU_TANH", False, _bool,
           "fast tier: tanh-form sigmoid in f32/bf16 SiLU "
           "(no divide in the conv+SiLU fusion)")
+_register("TAT_SERVING_COMPUTE", "int8", str,
+          "serving-tier MXU compute dtype: int8 (exact int32 MACs) | "
+          "bf16 (int8 HBM I/O, in-VMEM cast, f32 accumulation — "
+          "exact while K*K*C <= 1024)")
 _register("TAT_QBF16_EXIT", False, _bool,
           "serving tier: bf16 stem-stage exits consumed in-kernel; "
           "default off (measured net-negative on v5e)")
