@@ -53,7 +53,8 @@ def main() -> int:
     jax.block_until_ready(fn(warm))
 
     batcher = MultiStreamBatcher(streams, batch)
-    server = StreamServer(fn, depth=2)
+    from thingino_accel_tpu.runtime.ingest import batch_minor_format
+    server = StreamServer(fn, depth=2, ingest_format=batch_minor_format())
     n_out = sum(1 for _ in server.run(
         batcher.batches([stream(s) for s in range(streams)])))
 
