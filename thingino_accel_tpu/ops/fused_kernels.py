@@ -178,19 +178,27 @@ def _scale_rows(
 
     Linear/RELU: cs = in*w/out, inv_out = 1 (single multiply, matching
     the reference combined-scale path bit for bit when w_scale is a
-    scalar). Nonlinear: cs = in*w, inv_out = 1/out (two-step)."""
-    ws = jnp.asarray(w_scale, jnp.float32)
+    scalar). Nonlinear: cs = in*w, inv_out = 1/out (two-step).
+
+    The scale arithmetic runs on the HOST in numpy: the reference
+    computes combined_scale on the host CPU in IEEE f32
+    (``src/mars/mxu_conv.c:153``), and TPU f32 division is 1 ulp off
+    IEEE (reciprocal + refine) — computing ``cs / out_scale`` on
+    device flipped ~0.1% of outputs at rounding ties on hardware
+    vs the exact tier / interpret mode (found by the round-3 hardware
+    suite; tests/test_fused_kernels.py bottleneck oracle)."""
+    ws = np.asarray(w_scale, np.float32)
     if ws.ndim == 0:
-        ws = jnp.full((n,), ws, jnp.float32)
-    cs = jnp.float32(in_scale) * ws
+        ws = np.full((n,), ws, np.float32)
+    cs = (np.float32(in_scale) * ws).astype(np.float32)
     if act in ("NONE", "RELU", "LEAKY_RELU"):
         # LEAKY quantizes on the linear path first (alpha applies on
         # the int8 domain in _epilogue, matching the reference)
-        cs = cs / jnp.float32(out_scale)
+        cs = (cs / np.float32(out_scale)).astype(np.float32)
         inv_out = 1.0
     else:
         inv_out = float(1.0 / np.float32(out_scale))
-    cs = jnp.pad(cs, (0, np_ - n)).reshape(1, np_)
+    cs = jnp.asarray(np.pad(cs, (0, np_ - n)).reshape(1, np_))
     b = bias if bias is not None else jnp.zeros((n,), jnp.int32)
     b = jnp.pad(b, (0, np_ - n)).reshape(1, np_)
     return b, cs, inv_out
@@ -402,15 +410,18 @@ def matmul_int8_fused_multi(
         b, cs, inv_out = _scale_rows(
             bias, w_scale, in_scales[0], out_scale, act, n, np_)
     else:
-        # cs row = w_scale only; per-part in_scales applied in-kernel
-        ws_v = jnp.asarray(w_scale, jnp.float32)
+        # cs row = w_scale only; per-part in_scales applied in-kernel.
+        # Host numpy math — TPU f32 division is 1 ulp off IEEE (see
+        # _scale_rows).
+        ws_v = np.asarray(w_scale, np.float32)
         if ws_v.ndim == 0:
-            ws_v = jnp.full((n,), ws_v, jnp.float32)
+            ws_v = np.full((n,), ws_v, np.float32)
         if act in ("NONE", "RELU"):
-            cs_v, inv_out = ws_v / jnp.float32(out_scale), 1.0
+            cs_v = (ws_v / np.float32(out_scale)).astype(np.float32)
+            inv_out = 1.0
         else:
             cs_v, inv_out = ws_v, float(1.0 / np.float32(out_scale))
-        cs = jnp.pad(cs_v, (0, np_ - n)).reshape(1, np_)
+        cs = jnp.asarray(np.pad(cs_v, (0, np_ - n)).reshape(1, np_))
         b0 = bias if bias is not None else jnp.zeros((n,), jnp.int32)
         b = jnp.pad(b0, (0, np_ - n)).reshape(1, np_)
     if act in ("NONE", "RELU"):
@@ -960,14 +971,15 @@ def conv2d_int8_folded(
         # per-cell overhead dwarfs the tiny per-image dots otherwise
         wk, _, _ = repack_weights_folded(w_hwio, 1, f_out, 0, parts)
         wm = wk.reshape(wk.shape[2], f_out * o)
-        ws = jnp.asarray(w_scale, jnp.float32)
+        # scales stay HOST numpy until _scale_rows (see its docstring)
+        ws = np.asarray(w_scale, np.float32)
         if ws.ndim == 0:
-            ws = jnp.full((o,), ws, jnp.float32)
+            ws = np.full((o,), ws, np.float32)
         b0 = bias if bias is not None else jnp.zeros((o,), jnp.int32)
         if residual is not None:
             out = matmul_int8_fused_multi(
                 [x_folded.reshape(n * h * wg, gc)], [jnp.asarray(wm)],
-                jnp.tile(b0, f_out), [in_scale], jnp.tile(ws, f_out),
+                jnp.tile(b0, f_out), [in_scale], np.tile(ws, f_out),
                 out_scale, act=act, alpha=alpha,
                 residual=residual.reshape(n * h * wg, -1),
                 res_scale=res_scale, keep_phys=keep_phys,
@@ -975,7 +987,7 @@ def conv2d_int8_folded(
         else:
             out = matmul_int8_fused(
                 x_folded.reshape(n * h * wg, gc), jnp.asarray(wm),
-                jnp.tile(b0, f_out), in_scale, jnp.tile(ws, f_out),
+                jnp.tile(b0, f_out), in_scale, np.tile(ws, f_out),
                 out_scale, act=act, alpha=alpha, keep_phys=keep_phys,
                 compute=compute)
         return out.reshape(n, h, wg, -1)
@@ -997,12 +1009,12 @@ def conv2d_int8_folded(
         wk = wk.astype(jnp.bfloat16)
 
     # bias / combined-scale rows tiled across output phases
-    ws = jnp.asarray(w_scale, jnp.float32)
+    ws = np.asarray(w_scale, np.float32)
     if ws.ndim == 0:
-        ws = jnp.full((o,), ws, jnp.float32)
+        ws = np.full((o,), ws, np.float32)
     b0 = bias if bias is not None else jnp.zeros((o,), jnp.int32)
     b_t = jnp.tile(b0, f_out)
-    ws_t = jnp.tile(ws, f_out)
+    ws_t = np.tile(ws, f_out)
     b, cs, inv_out = _scale_rows(b_t, ws_t, in_scale, out_scale, act, no, op)
 
     if tile_h is None:
@@ -1273,17 +1285,17 @@ def bottleneck_int8_fused(
         raise ValueError("fused residual needs matching phys lanes "
                          f"(x {cp} vs out {op})")
 
-    ws1 = jnp.asarray(w1_scale, jnp.float32)
+    ws1 = np.asarray(w1_scale, np.float32)
     if ws1.ndim == 0:
-        ws1 = jnp.full((c_,), ws1, jnp.float32)
+        ws1 = np.full((c_,), ws1, np.float32)
     b1v = b1 if b1 is not None else jnp.zeros((c_,), jnp.int32)
-    b1r, cs1, inv1 = _scale_rows(jnp.tile(b1v, f), jnp.tile(ws1, f),
+    b1r, cs1, inv1 = _scale_rows(jnp.tile(b1v, f), np.tile(ws1, f),
                                  in_scale, m_scale, act1, cm_log, cm_p)
-    ws2 = jnp.asarray(w2_scale, jnp.float32)
+    ws2 = np.asarray(w2_scale, np.float32)
     if ws2.ndim == 0:
-        ws2 = jnp.full((o,), ws2, jnp.float32)
+        ws2 = np.full((o,), ws2, np.float32)
     b2v = b2 if b2 is not None else jnp.zeros((o,), jnp.int32)
-    b2r, cs2, inv2 = _scale_rows(jnp.tile(b2v, f), jnp.tile(ws2, f),
+    b2r, cs2, inv2 = _scale_rows(jnp.tile(b2v, f), np.tile(ws2, f),
                                  m_scale, out_scale, act2, no, op)
     if act2 in ("NONE", "RELU"):
         res_scale_eff = float(np.float32(in_scale) / np.float32(out_scale))
@@ -1404,9 +1416,9 @@ def depthwise_conv2d_int8_fused(
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
     wk = jnp.pad(w_khkwc, ((0, 0), (0, 0), (0, cp - c)))
     wk = wk.reshape(kh * kw, 1, cp)
-    ws = jnp.asarray(w_scale, jnp.float32)
+    ws = np.asarray(w_scale, np.float32)
     if ws.ndim == 0:
-        ws = jnp.full((c,), ws, jnp.float32)
+        ws = np.full((c,), ws, np.float32)
     b0 = bias if bias is not None else jnp.zeros((c,), jnp.int32)
     b, cs, inv_out = _scale_rows(b0, ws, in_scale, out_scale, act, c, cp)
 
@@ -1504,19 +1516,23 @@ def conv2d_int8_stem_fused(
         preferred_element_type=jnp.float32)
     if bias is not None:
         accf = accf + bias.astype(jnp.float32)
-    ws = jnp.asarray(w_scale, jnp.float32)
+    ws = np.asarray(w_scale, np.float32)
     if ws.ndim == 0:
-        ws = jnp.full((o,), ws, jnp.float32)
+        ws = np.full((o,), ws, np.float32)
     if act in ("NONE", "RELU", "LEAKY_RELU"):
         # LEAKY quantizes linearly first — alpha applies on the int8
         # domain below, matching the reference
-        # (src/mars/mars_runtime.c:1078-1082)
-        pre = accf * (jnp.float32(in_scale) * ws / jnp.float32(out_scale))
+        # (src/mars/mars_runtime.c:1078-1082). Scale math on the host
+        # (numpy): TPU f32 division is 1 ulp off IEEE (see _scale_rows).
+        cs = ((np.float32(in_scale) * ws)
+              / np.float32(out_scale)).astype(np.float32)
+        pre = accf * jnp.asarray(cs)
         if act == "RELU":
             pre = jnp.maximum(pre, 0.0)
         scaled = pre
     else:
-        pre = accf * (jnp.float32(in_scale) * ws)
+        pre = accf * jnp.asarray(
+            (np.float32(in_scale) * ws).astype(np.float32))
         if act == "SILU":
             pre = pre * jax.nn.sigmoid(pre)
         scaled = pre * jnp.float32(float(1.0 / np.float32(out_scale)))

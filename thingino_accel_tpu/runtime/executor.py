@@ -814,9 +814,12 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                     xs, ws_l, in_scales = [], [], []
                     off = 0
                     mrows = None
-                    ws_vec = jnp.asarray(ws, jnp.float32)
+                    # host numpy: scale vectors must reach the kernels'
+                    # _scale_rows un-traced so the combined-scale math
+                    # runs in IEEE f32 on the host (fused_kernels)
+                    ws_vec = np.asarray(ws, np.float32)
                     if ws_vec.ndim == 0:
-                        ws_vec = jnp.full((o_ch,), ws_vec, jnp.float32)
+                        ws_vec = np.full((o_ch,), ws_vec, np.float32)
                     for i in ins:
                         ci = tensors[i].shape[3]
                         arr = env[i]
@@ -854,7 +857,7 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                         if residual is not None else None
                     out = FK.matmul_int8_fused_multi(
                         xs, ws_l, jnp.tile(b0, f_out), in_scales,
-                        jnp.tile(ws_vec, f_out), out_s,
+                        np.tile(ws_vec, f_out), out_s,
                         act=f_act, alpha=a.get("alpha", 0.01) or 0.01,
                         residual=res_m, res_scale=res_scale,
                         bias_scale=scale(src), keep_phys=True)
