@@ -15,6 +15,14 @@ Env knobs:
   TAT_BENCH_F32ACC  1 = f32 conv accumulation (default bf16)
   TAT_BENCH_MARS    path to a real .mars model to run through the same
                     pipeline (e.g. models/yolov5n_cal_int8.mars)
+  TAT_BENCH_S2D     fixed-camera space-to-depth ingest: stem rewritten
+                    6x6s2c3 -> 3x3s1c12, frames fed in 2x2-block order
+                    (ir/passes.stem_space_to_depth; +2.2%,
+                    bit-identical detections). Default 1 — the bench's
+                    feed is a pre-sized fixed-camera batch either way,
+                    and the host writes the same bytes once in either
+                    order; 0 = row-major NHWC ingest (4,265 vs 4,382
+                    fps measured).
 """
 
 from __future__ import annotations
@@ -52,6 +60,15 @@ def build_pipeline(batch: int, size: str):
     else:
         cfg = zoo.ZooConfig(dtype="int8", in_hw=(640, 640))
         graph = zoo.build_yolov5(size, cfg)
+    s2d = False
+    if os.environ.get("TAT_BENCH_S2D", "1") != "0":
+        # fixed-camera s2d ingest: stem rewritten to 3x3 s1 cin=12,
+        # frames fed in 2x2-block order (host writes that order during
+        # the H2D DMA; +2.2% e2e, bit-identical detections —
+        # ir/passes.stem_space_to_depth). No-op (False) for graphs
+        # without an eligible stem.
+        from thingino_accel_tpu.ir.passes import stem_space_to_depth
+        s2d = stem_space_to_depth(graph)
     precision = os.environ.get("TAT_BENCH_TIER", "fast")
     if os.environ.get("TAT_BENCH_EXACT") == "1":
         precision = "exact"
@@ -106,9 +123,12 @@ def build_pipeline(batch: int, size: str):
     # the H2D DMA writes every byte once either way, so this is free
     # in real serving; runtime/ingest.py, +6% e2e measured).
     from thingino_accel_tpu.runtime.ingest import ingest
-    frames = ingest(
-        np.random.default_rng(0).integers(
-            0, 256, (batch,) + in_hw + (3,), dtype=np.uint8))
+    raw = np.random.default_rng(0).integers(
+        0, 256, (batch, 640, 640, 3) if s2d else (batch,) + in_hw + (3,),
+        dtype=np.uint8)
+    if s2d:
+        raw = yolo.space_to_depth_frames(raw)   # the camera-DMA order
+    frames = ingest(raw)
     return pipeline, frames
 
 

@@ -1,0 +1,69 @@
+"""stem_space_to_depth pass: the s2d-rewritten graph fed block-ordered
+frames is BIT-identical to the original on the exact tier (identical
+products, order-insensitive int32 accumulation)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from thingino_accel_tpu.ir.passes import stem_space_to_depth
+from thingino_accel_tpu.models import yolo, zoo
+from thingino_accel_tpu.runtime import Engine, EngineOptions
+
+
+def _stem_graph():
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+    b = zoo.GraphBuilder("s2dtest", cfg)
+    x = b.input("images", (1, 16, 16, 3))
+    y = b.conv(x, 24, 6, 2)           # 6x6 s2 SAME -> 8x8x24
+    y = b.conv(y, 32, 3)              # 3x3 s1
+    return b.finish([y])
+
+
+def test_stem_s2d_exact_tier_bitwise():
+    x = np.random.default_rng(0).integers(
+        -128, 128, (1, 16, 16, 3), dtype=np.int8)
+
+    g1 = _stem_graph()
+    out1 = Engine(g1).run_np(x)
+
+    g2 = _stem_graph()
+    assert stem_space_to_depth(g2) is True
+    in_t = g2.tensors[g2.inputs[0]]
+    assert in_t.shape == (1, 8, 8, 12)
+    x2 = yolo.space_to_depth_frames(x)
+    out2 = Engine(g2).run_np(x2)
+
+    for k in out1:
+        np.testing.assert_array_equal(out1[k], out2[k])
+
+
+def test_stem_s2d_fast_tier_close():
+    x = np.random.default_rng(1).integers(
+        -128, 128, (2, 16, 16, 3), dtype=np.int8)
+    opts = EngineOptions(precision="fast", quantize_outputs=False)
+    g1 = _stem_graph()
+    out1 = Engine(g1, opts).run_np(x)
+    g2 = _stem_graph()
+    assert stem_space_to_depth(g2)
+    out2 = Engine(g2, opts).run_np(yolo.space_to_depth_frames(x))
+    for k in out1:
+        np.testing.assert_allclose(
+            out1[k].astype(np.float32), out2[k].astype(np.float32),
+            rtol=0.05, atol=0.05)
+
+
+def test_stem_s2d_rejects_ineligible():
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+    b = zoo.GraphBuilder("odd", cfg)
+    x = b.input("images", (1, 16, 16, 3))
+    y = b.conv(x, 16, 3, 2)           # odd kernel: not eligible
+    g = b.finish([y])
+    assert stem_space_to_depth(g) is False
+
+
+def test_space_to_depth_device_matches_host():
+    x = np.random.default_rng(2).integers(
+        0, 256, (2, 8, 10, 3), dtype=np.uint8)
+    host = yolo.space_to_depth_frames(x)
+    dev = np.asarray(yolo.space_to_depth(jnp.asarray(x)))
+    np.testing.assert_array_equal(host, dev)

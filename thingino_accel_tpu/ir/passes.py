@@ -274,3 +274,67 @@ def dead_code(graph: Graph) -> Graph:
             live.update(node.inputs)
     graph.nodes = list(reversed(keep))
     return graph
+
+
+def stem_space_to_depth(graph: Graph) -> bool:
+    """Rewrite an even-kernel stride-2 thin-channel stem conv into its
+    space-to-depth form: input ``[B, H, W, C]`` + conv ``KxK s2`` becomes
+    input ``[B, H/2, W/2, 4C]`` (2x2 pixel blocks flattened into
+    channels, row-major) + conv ``(K/2)x(K/2) s1`` with block-gathered
+    weights. Identical arithmetic — every output value sums exactly the
+    same products (int32/f32 accumulation is order-insensitive here), so
+    the exact tier is bit-identical.
+
+    This is the SURVEY §7 "small-channel stem" lever: a 3-channel 640px
+    input underutilizes the 128-wide MXU and pays a strided 6x6 window
+    walk; the s2d form has identical FLOPs and im2col width (K*K*C) but
+    dense 3x3 loads (+2.2% e2e measured on yolov5s@640 b128, v5e, with
+    bit-identical detections — examples/stem_s2d_experiment.py). The
+    caller must then feed s2d frames: free for a fixed camera feed (the
+    H2D DMA writes the same bytes in block order —
+    ``models.yolo.space_to_depth_frames``), or an on-device relayout
+    after letterbox for dynamic sizes (which gives the win back; only
+    apply this pass for pre-sized feeds).
+
+    Returns True if the graph was rewritten (exactly one eligible stem:
+    conv consuming a graph input with even K, stride 2, cin < 16, even
+    spatial dims, and SAME padding whose total pad is even).
+    """
+    in_names = set(graph.inputs)
+    for node in graph.nodes:
+        if node.op != "CONV2D" or node.inputs[0] not in in_names:
+            continue
+        in_t = graph.tensors[node.inputs[0]]
+        if len(in_t.shape) != 4:
+            continue
+        b, h, w, c = in_t.shape
+        kh, kw = node.attrs.get("kernel", (0, 0))
+        if (node.attrs.get("stride") != (2, 2) or kh != kw or kh % 2
+                or kh == 0 or c >= 16 or h % 2 or w % 2
+                or node.attrs.get("groups", 1) != 1
+                or node.attrs.get("dilation", (1, 1)) != (1, 1)):
+            continue
+        # SAME padding for even K stride 2: total pad = K - 2 (even),
+        # split (K-2)/2 per side -> becomes (Kb - 1) with Kb = K/2, the
+        # SAME pad of an odd (Kb)x(Kb) stride-1 conv. Explicit pads
+        # other than that are not expressible block-wise.
+        ep = node.attrs.get("explicit_pad")
+        if ep is not None and tuple(ep) != ((kh - 2) // 2,) * 4:
+            continue
+        wt = graph.tensors[node.inputs[1]]
+        o, ci, _, _ = wt.shape            # OIHW
+        assert ci == c, (wt.shape, in_t.shape)
+        kb = kh // 2
+        # OIHW [O, C, K, K] -> [O, 4C, Kb, Kb]: tap (2i+p, 2j+q) of
+        # channel ch becomes tap (i, j) of block-channel (p*2+q)*C+ch
+        wd = wt.data.reshape(o, c, kb, 2, kb, 2)
+        wd = wd.transpose(0, 3, 5, 1, 2, 4).reshape(o, 4 * c, kb, kb)
+        wt.data = np.ascontiguousarray(wd)
+        wt.shape = tuple(wd.shape)
+        node.attrs["kernel"] = (kb, kb)
+        node.attrs["stride"] = (1, 1)
+        if ep is not None:
+            node.attrs["explicit_pad"] = ((kb - 1) // 2,) * 4
+        in_t.shape = (b, h // 2, w // 2, 4 * c)
+        return True
+    return False

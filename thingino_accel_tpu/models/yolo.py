@@ -124,6 +124,33 @@ def normalize_input_f32(frames_u8: jax.Array) -> jax.Array:
     return frames_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
 
 
+def space_to_depth_frames(frames: np.ndarray) -> np.ndarray:
+    """Host-side 2x2 space-to-depth: ``[B, H, W, C]`` ->
+    ``[B, H/2, W/2, 4C]``, block pixels flattened row-major into
+    channels (phase-major: channel ``(p*2+q)*C + c``).
+
+    The ingest order for a graph rewritten by
+    ``ir.passes.stem_space_to_depth`` — a fixed camera feed writes this
+    during the H2D DMA at no extra cost (same bytes, block-major
+    order). Pair with ``runtime.ingest.ingest`` for the batch-minor
+    device layout."""
+    b, h, w, c = frames.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    out = frames.reshape(b, h // 2, 2, w // 2, 2, c) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    return np.ascontiguousarray(out)
+
+
+def space_to_depth(frames: jax.Array) -> jax.Array:
+    """Device-side 2x2 space-to-depth (same channel order as
+    :func:`space_to_depth_frames`) — for dynamic-size feeds where the
+    letterbox runs on device first. Costs an on-device relayout; the
+    s2d stem's win comes from doing this in the H2D write instead."""
+    b, h, w, c = frames.shape
+    return frames.reshape(b, h // 2, 2, w // 2, 2, c) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 def find_detect_outputs(graph) -> list:
     """Locate the three raw detect-conv outputs in an imported YOLO graph.
 
