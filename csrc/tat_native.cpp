@@ -189,6 +189,29 @@ int tat_letterbox_rgb(const uint8_t* src, int sh, int sw, uint8_t* dst,
   return 0;
 }
 
+// 2x2 space-to-depth for the s2d stem ingest (ir/passes
+// .stem_space_to_depth): [H,W,C] u8 -> [H/2,W/2,4C], block pixels
+// flattened phase-major (channel (p*2+q)*C + c) — the byte order the
+// H2D DMA writes for a fixed camera feed, so the device stem consumes
+// a dense 3x3 cin=4C conv with no on-device relayout.
+int tat_s2d_u8(const uint8_t* src, int h, int w, int c, uint8_t* dst) {
+  if (h % 2 || w % 2) return -1;
+  const int hw2 = w / 2;
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h / 2; ++y) {
+    uint8_t* drow = dst + (int64_t)y * hw2 * 4 * c;
+    for (int x = 0; x < hw2; ++x) {
+      uint8_t* d = drow + (int64_t)x * 4 * c;
+      for (int p = 0; p < 2; ++p) {
+        const uint8_t* s = src + (((int64_t)(2 * y + p) * w) + 2 * x) * c;
+        // phases (p,0) and (p,1) are contiguous in both src and dst
+        std::memcpy(d + (p * 2) * c, s, 2 * c);
+      }
+    }
+  }
+  return 0;
+}
+
 // uint8 -> centered int8 (pixel - 128), the reference input quantization.
 void tat_quantize_i8(const uint8_t* src, int8_t* dst, int64_t n) {
 #pragma omp parallel for schedule(static)

@@ -144,3 +144,16 @@ def test_c_abi_engine_shim():
     np.testing.assert_array_equal(out, ref)
 
     lib.tat_model_unload(model)
+
+
+def test_native_space_to_depth_matches_numpy():
+    """C++ s2d ingest reorder == the numpy reference (both the
+    phase-major channel order stem_space_to_depth's weights expect)."""
+    from thingino_accel_tpu import native
+    from thingino_accel_tpu.models.yolo import space_to_depth_frames
+    x = np.random.default_rng(3).integers(
+        0, 256, (12, 16, 3), dtype=np.uint8)
+    got = native.space_to_depth_u8(x)        # native or numpy fallback
+    want = space_to_depth_frames(x[None])[0]
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (6, 8, 12)

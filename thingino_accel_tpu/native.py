@@ -62,6 +62,9 @@ def load() -> Optional[ctypes.CDLL]:
         u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint8]
     lib.tat_quantize_i8.argtypes = [u8p, i8p, ctypes.c_int64]
+    if hasattr(lib, "tat_s2d_u8"):   # added after the v1 ABI froze
+        lib.tat_s2d_u8.argtypes = [u8p] + [ctypes.c_int] * 3 + [u8p]
+        lib.tat_s2d_u8.restype = ctypes.c_int
     lib.tat_nms.argtypes = [
         f32p, f32p, i32p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
         i32p, ctypes.c_int]
@@ -146,6 +149,25 @@ def letterbox(img: np.ndarray, target: Tuple[int, int],
     h, w, _ = img.shape
     dst = np.empty((th, tw, 3), np.uint8)
     lib.tat_letterbox_rgb(_u8(img), h, w, _u8(dst), th, tw, pad_value)
+    return dst
+
+
+def space_to_depth_u8(img: np.ndarray) -> np.ndarray:
+    """2x2 space-to-depth of one HWC uint8 frame -> [H/2, W/2, 4C]
+    (phase-major channels, matching
+    ``models.yolo.space_to_depth_frames``) — the ingest byte order for
+    graphs rewritten by ``ir.passes.stem_space_to_depth``. C++/OpenMP
+    with numpy fallback."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    lib = load()
+    if lib is None or not hasattr(lib, "tat_s2d_u8"):
+        from thingino_accel_tpu.models.yolo import space_to_depth_frames
+        return space_to_depth_frames(img[None])[0]
+    dst = np.empty((h // 2, w // 2, 4 * c), np.uint8)
+    rc = lib.tat_s2d_u8(_u8(img), h, w, c, _u8(dst))
+    if rc != 0:
+        raise ValueError(f"space_to_depth needs even dims, got {h}x{w}")
     return dst
 
 
