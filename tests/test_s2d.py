@@ -67,3 +67,49 @@ def test_space_to_depth_device_matches_host():
     host = yolo.space_to_depth_frames(x)
     dev = np.asarray(yolo.space_to_depth(jnp.asarray(x)))
     np.testing.assert_array_equal(host, dev)
+
+
+# ---------------------------------------------------------------------------
+# split_detect_heads (per-anchor heads; companion pass to the s2d stem)
+# ---------------------------------------------------------------------------
+
+
+def _det_graph():
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(32, 32))
+    b = zoo.GraphBuilder("dettest", cfg)
+    x = b.input("images", (1, 32, 32, 3))
+    y = b.conv(x, 32, 3, 2)
+    h = b.conv(y, 255, 1, act="NONE")
+    return b.finish([h])
+
+
+def test_split_detect_heads_exact_bitwise():
+    from thingino_accel_tpu.ir.passes import split_detect_heads
+    x = np.random.default_rng(4).integers(
+        -128, 128, (1, 32, 32, 3), dtype=np.int8)
+    g1 = _det_graph()
+    out1 = list(Engine(g1).run_np(x).values())[0]
+    g2 = _det_graph()
+    groups = split_detect_heads(g2)
+    assert len(groups) == 1 and len(groups[0]) == 3
+    out2 = Engine(g2).run_np(x)
+    merged = np.concatenate([out2[n] for n in groups[0]], axis=-1)
+    np.testing.assert_array_equal(out1, merged)
+
+
+def test_decode_and_parse_split_matches_packed():
+    from thingino_accel_tpu.models import yolo
+    rng = np.random.default_rng(5)
+    feats, groups = [], []
+    for i, hw in enumerate((8, 4, 2)):
+        f = (rng.normal(size=(2, hw, hw, 255)) * 2).astype(np.float32)
+        feats.append(jnp.asarray(f))
+        groups.append([jnp.asarray(f[..., a * 85:(a + 1) * 85])
+                       for a in range(3)])
+    b1, s1, c1 = yolo.decode_and_parse(feats)
+    b2, s2, c2 = yolo.decode_and_parse_split(groups)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

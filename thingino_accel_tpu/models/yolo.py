@@ -289,6 +289,64 @@ def decode_and_parse(
             jnp.concatenate(all_cls, 1))
 
 
+def decode_and_parse_split(
+    feat_groups: Sequence[Sequence[jax.Array]],   # [level][anchor] [B,H,W,5+NC]
+    anchors: np.ndarray = YOLOV5_ANCHORS,
+    strides: Sequence[int] = YOLOV5_STRIDES,
+    num_classes: int = 80,
+    scales: Optional[Sequence[float]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`decode_and_parse` for per-anchor split heads
+    (``ir.passes.split_detect_heads``): each level supplies A tensors
+    of ``5+NC`` channels, consumed with plain channel slices — no
+    lane-splitting ``(A, 5+NC)`` reshape, no relayout copy. Output
+    ordering matches :func:`decode_and_parse` (anchor-fastest)."""
+    all_boxes, all_conf, all_cls = [], [], []
+    for i, group in enumerate(feat_groups):
+        sc = (jnp.float32(scales[i])
+              if scales is not None and scales[i] is not None else None)
+        anc_b, anc_c, anc_k = [], [], []
+        for anc, feat in enumerate(group):
+            b, h, w, ch = feat.shape
+            gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+            gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+            grid = jnp.stack([gx, gy], axis=-1)
+            x5 = feat[..., 0:5].astype(jnp.float32)
+            if sc is not None:
+                x5 = x5 * sc
+            sig5 = jax.nn.sigmoid(x5)
+            xy = (sig5[..., 0:2] * 2.0 - 0.5 + grid) * \
+                jnp.float32(strides[i])
+            wh = jnp.square(sig5[..., 2:4] * 2.0) * \
+                jnp.asarray(anchors[i][anc], jnp.float32)
+            obj = sig5[..., 4]
+            cls_logits = feat[..., 5:5 + num_classes]
+            if jnp.issubdtype(cls_logits.dtype, jnp.integer):
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int16, cls_logits.shape, cls_logits.ndim - 1)
+                comb = cls_logits.astype(jnp.int16) * 256 + (255 - iota)
+                cmax = jnp.max(comb, axis=-1)
+                best_logit = (cmax >> 8).astype(jnp.float32)
+                acls = (255 - (cmax & 255)).astype(jnp.int32)
+            else:
+                best_logit = jnp.max(cls_logits, axis=-1).astype(
+                    jnp.float32)
+                acls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+            if sc is not None:
+                best_logit = best_logit * sc
+            conf = obj * jax.nn.sigmoid(best_logit)
+            hw = h * w
+            anc_b.append(jnp.concatenate([xy, wh], -1).reshape(b, hw, 4))
+            anc_c.append(conf.reshape(b, hw))
+            anc_k.append(acls.reshape(b, hw))
+        n = hw * len(group)
+        all_boxes.append(jnp.stack(anc_b, axis=2).reshape(b, n, 4))
+        all_conf.append(jnp.stack(anc_c, axis=2).reshape(b, n))
+        all_cls.append(jnp.stack(anc_k, axis=2).reshape(b, n))
+    return (jnp.concatenate(all_boxes, 1), jnp.concatenate(all_conf, 1),
+            jnp.concatenate(all_cls, 1))
+
+
 def decode_anchor_free(
     box_feats: Sequence[jax.Array],   # per level [B, H, W, 4*reg_max]
     cls_feats: Sequence[jax.Array],   # per level [B, H, W, NC]
