@@ -113,3 +113,30 @@ def test_decode_and_parse_split_matches_packed():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_stem_s2d_skips_multi_consumer_input():
+    """An input consumed by more than the stem conv can't be
+    rewritten (its shape would change under the other consumer)."""
+    from thingino_accel_tpu.ir.passes import stem_space_to_depth
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+    b = zoo.GraphBuilder("multi", cfg)
+    x = b.input("images", (1, 16, 16, 3))
+    y1 = b.conv(x, 16, 6, 2)
+    y2 = b.conv(x, 16, 3, 2)          # second consumer of the input
+    g = b.finish([y1, y2])
+    assert stem_space_to_depth(g) is False
+
+
+def test_split_detect_heads_skips_consumed_output():
+    """A detect output that is also consumed downstream stays packed
+    (its packed tensor must keep existing)."""
+    from thingino_accel_tpu.ir.passes import split_detect_heads
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+    b = zoo.GraphBuilder("consumed", cfg)
+    x = b.input("images", (1, 16, 16, 3))
+    y = b.conv(x, 32, 3, 2)
+    h = b.conv(y, 255, 1, act="NONE")
+    extra = b.conv(h, 8, 1, act="NONE")   # consumes the packed head
+    g = b.finish([h, extra])
+    assert split_detect_heads(g) == []

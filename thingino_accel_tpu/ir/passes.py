@@ -301,8 +301,12 @@ def stem_space_to_depth(graph: Graph) -> bool:
     spatial dims, and SAME padding whose total pad is even).
     """
     in_names = set(graph.inputs)
+    cons = graph.consumers()
     for node in graph.nodes:
         if node.op != "CONV2D" or node.inputs[0] not in in_names:
+            continue
+        # the input's shape changes — every consumer must be this conv
+        if any(c is not node for c in cons.get(node.inputs[0], [])):
             continue
         in_t = graph.tensors[node.inputs[0]]
         if len(in_t.shape) != 4:
@@ -359,13 +363,15 @@ def split_detect_heads(graph: Graph, step: int = 85) -> List[List[str]]:
     groups: List[List[str]] = []
     new_outputs: List[str] = []
     drop_nodes = set()
+    cons = graph.consumers()
     for out_name in list(graph.outputs):
         node = next((n for n in graph.nodes if out_name in n.outputs), None)
         out_t = graph.tensors[out_name]
         if (node is None or node.op != "CONV2D"
                 or node.attrs.get("kernel") != (1, 1)
                 or len(out_t.shape) != 4 or out_t.shape[3] % step
-                or out_t.shape[3] == step):
+                or out_t.shape[3] == step
+                or cons.get(out_name)):   # packed tensor has consumers
             new_outputs.append(out_name)
             continue
         a = out_t.shape[3] // step
