@@ -131,6 +131,42 @@ def test_stem_stage_bitwise_equals_legacy_path(rng):
         np.testing.assert_array_equal(with_stage[k], legacy[k])
 
 
+@pytest.mark.parametrize("act", ["RELU", "SILU"])
+def test_stem_nogrow_bitwise_equals_grown(rng, act, monkeypatch):
+    """``TAT_STEM_NOGROW=1`` limits the XLA stem stage to the cin<16
+    seed convs; the conv it would grow into (3x3 s2) runs on the folded
+    pallas path instead. Must be a pure scheduling choice: bit-identical
+    to the grown stage on both RELU (kernel epilogue) and SiLU (f32
+    pre-activation epilogue) chains, and bit-exact vs the exact tier on
+    the linear/RELU contract."""
+    g = _stem_graph(act)
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    monkeypatch.delenv("TAT_STEM_NOGROW", raising=False)
+    grown = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    monkeypatch.setenv("TAT_STEM_NOGROW", "1")
+    nogrow = Engine(g, EngineOptions(precision="serving")).run_np(x)
+    for k in grown:
+        np.testing.assert_array_equal(grown[k], nogrow[k])
+    if act == "RELU":
+        exact = Engine(g, EngineOptions(precision="exact")).run_np(x)
+        for k in exact:
+            np.testing.assert_array_equal(exact[k], nogrow[k])
+
+
+def test_stem_nogrow_plan_yolov5s(monkeypatch):
+    """Under the knob the yolov5s stage is exactly the stem conv,
+    emitting folded int8 (f=4 on the 32-channel output); the grown
+    plan's second stage conv leaves the stage."""
+    g = zoo.build_yolov5("s", zoo.ZooConfig(dtype="int8",
+                                            in_hw=(640, 640)))
+    g = fuse_act_into_conv(g)
+    monkeypatch.setenv("TAT_STEM_NOGROW", "1")
+    plan = _plan_folds(list(g.nodes), g.tensors, g.outputs)
+    assert len(plan.stem_stage) == 1
+    (out,) = plan.stem_stage
+    assert plan.stem_emit[out] == "int8" and plan.f(out) == 4
+
+
 def test_sppf_with_residual_consumer(rng):
     """A 1x1 conv over an SPPF concat that ALSO carries a fused
     residual: the SPPF fast path declines (residual set), the virtual

@@ -250,7 +250,13 @@ def _plan_folds(nodes, tensors, graph_outputs) -> _FoldPlan:
                 and act in ("NONE", "RELU", "LEAKY_RELU", "SILU"))
 
     stage = {n.outputs[0] for n in nodes if stage_eligible(n, 16)}
-    grown = True
+    from thingino_accel_tpu.utils import config as _cfg0
+    # TAT_STEM_NOGROW: keep the stage at the seed convs — the convs it
+    # would absorb (e.g. the 3x3 s2 trunk entry) then run on the folded
+    # pallas path with int8 I/O, and the stage-exit f32-accumulator
+    # read + quantize pass happens once, on the stem conv's output,
+    # instead of on the (larger) grown-conv accumulator chain.
+    grown = not _cfg0.get("TAT_STEM_NOGROW")
     while grown:   # grow chains: thin conv consuming a stage conv
         grown = False
         for node in nodes:

@@ -62,6 +62,11 @@ _register("TAT_SERVING_COMPUTE", "int8", str,
           "serving-tier MXU compute dtype: int8 (exact int32 MACs) | "
           "bf16 (int8 HBM I/O, in-VMEM cast, f32 accumulation — "
           "exact while K*K*C <= 1024)")
+_register("TAT_STEM_NOGROW", False, _bool,
+          "serving tier: limit the XLA stem stage to the thin-channel "
+          "seed convs (cin < 16); the convs it would grow into run on "
+          "the folded pallas path instead, so the stage-exit f32 "
+          "accumulator read+quantize happens once, on the stem output")
 _register("TAT_QBF16_EXIT", False, _bool,
           "serving tier: bf16 stem-stage exits consumed in-kernel; "
           "default off (measured net-negative on v5e)")
