@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""One-shot hardware measurement queue (run when the TPU tunnel is up).
+
+Runs each pending measurement in a SEPARATE subprocess (the tunnel
+wedges a process after an unsupported-op error) and prints a summary
+table. Each row is a whole-model fenced-loop bench — the only timing
+protocol that is trustworthy through the relay (docs/KERNELS.md).
+
+    python examples/hw_queue.py            # all rows
+    python examples/hw_queue.py headline   # name-filter
+"""
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, argv, extra env)
+ROWS = [
+    ("headline", [sys.executable, "bench.py"], {}),
+    ("mars-real-yolov5n",
+     [sys.executable, "bench.py"],
+     {"TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    ("serving-base", [sys.executable, "bench.py"],
+     {"TAT_BENCH_TIER": "serving"}),
+    ("serving-stem-nogrow", [sys.executable, "bench.py"],
+     {"TAT_BENCH_TIER": "serving", "TAT_STEM_NOGROW": "1"}),
+    ("split-heads", [sys.executable, "examples/split_heads_experiment.py"],
+     {}),
+]
+
+
+def main() -> int:
+    pat = sys.argv[1] if len(sys.argv) > 1 else ""
+    results = []
+    for name, argv, extra in ROWS:
+        if pat and pat not in name:
+            continue
+        env = dict(os.environ, **extra)
+        print(f"=== {name} ({extra or 'defaults'}) ===", flush=True)
+        p = subprocess.run(argv, cwd=ROOT, env=env, text=True,
+                           capture_output=True, timeout=3600)
+        out = (p.stdout + p.stderr).strip()
+        print(out[-2000:], flush=True)
+        results.append((name, p.returncode, out.splitlines()[-1] if out else ""))
+    print("\n=== summary ===")
+    for name, rc, last in results:
+        print(f"{name:24} rc={rc}  {last}")
+    return max((rc for _, rc, _ in results), default=0)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

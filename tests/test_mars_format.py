@@ -124,3 +124,57 @@ def test_nmhwsoib2_matches_bundled_sizes():
             continue
         o, i, kh, kw = wt.shape
         assert wt.data_size == nmhwsoib2_size(o, i, kh, kw)
+
+
+# ---------------------------------------------------------------------------
+# Robustness: corrupted / truncated files fail with controlled errors
+# (the reference loader's validation role, mars_runtime.c:137-201; its
+# on-device analog for bad OEM data is SURVEY §5's defensive hardening)
+# ---------------------------------------------------------------------------
+
+
+def test_read_mars_truncations_raise_valueerror():
+    data = open(reference_model("tiny_160_int8.mars"), "rb").read()
+    # cut points: inside the header, the descriptor tables, the blob
+    for cut in (0, 8, M.HEADER_SIZE - 1, M.HEADER_SIZE + 3,
+                M.HEADER_SIZE + M.TENSOR_SIZE + 5, len(data) // 2,
+                len(data) - 1):
+        with pytest.raises(ValueError):
+            M.read_mars(data[:cut])
+
+
+def test_read_mars_fuzz_byte_flips_never_crash(rng):
+    """300 seeded single-byte corruptions: read_mars either parses a
+    model or raises ValueError — never hangs, never escapes another
+    exception type, never allocates off a corrupted count field."""
+    data = bytearray(open(reference_model("tiny_160_int8.mars"), "rb").read())
+    # bias half the flips into the header + descriptor tables where the
+    # structural fields live
+    n_struct = M.HEADER_SIZE + 40 * M.TENSOR_SIZE
+    for _ in range(300):
+        pos = int(rng.integers(0, n_struct if rng.random() < 0.5
+                               else len(data)))
+        old = data[pos]
+        data[pos] = int(rng.integers(0, 256))
+        try:
+            M.read_mars(bytes(data))
+        except ValueError:
+            pass
+        finally:
+            data[pos] = old
+
+
+def test_read_mars_corrupt_counts_bounded():
+    """Huge tensor/layer counts or a wild weight offset must be caught
+    by the up-front bounds checks, not by looping to the end."""
+    data = bytearray(open(reference_model("tiny_160_int8.mars"), "rb").read())
+    import struct as S
+    for off in (12, 16):        # n_layers, n_tensors
+        bad = bytearray(data)
+        S.pack_into("<I", bad, off, 0x7FFFFFFF)
+        with pytest.raises(ValueError, match="truncated"):
+            M.read_mars(bytes(bad))
+    bad = bytearray(data)
+    S.pack_into("<QQ", bad, 28, 2**40, 2**40)   # weights offset/size
+    with pytest.raises(ValueError, match="out of bounds"):
+        M.read_mars(bytes(bad))

@@ -496,6 +496,21 @@ def read_mars(src: Union[str, bytes, bytearray, memoryview]) -> MarsModel:
     input_ids = struct.unpack_from("<4I", data, 44)[:n_in]
     output_ids = struct.unpack_from("<4I", data, 60)[:n_out]
 
+    # structural bounds (the reference loader's validation role,
+    # src/mars/mars_runtime.c:137-201): fail with a clear error instead
+    # of running the descriptor loops off the end of a truncated or
+    # count-corrupted file
+    tables_end = (HEADER_SIZE + n_tensors * TENSOR_SIZE
+                  + n_layers * LAYER_SIZE)
+    if tables_end > len(data):
+        raise ValueError(
+            f"truncated .mars: {n_tensors} tensors + {n_layers} layers "
+            f"need {tables_end} bytes, file has {len(data)}")
+    if weights_size and weights_offset + weights_size > len(data):
+        raise ValueError(
+            f"weight blob out of bounds: offset {weights_offset} + size "
+            f"{weights_size} > file size {len(data)}")
+
     off = HEADER_SIZE
     tensors = []
     for _ in range(n_tensors):
