@@ -232,3 +232,28 @@ def test_ir_to_onnx_round_trip_other_archs(builder, hw):
         w = want[k_w]
         assert float(np.abs(w).max()) > 1e-4, "vacuous comparison"
         np.testing.assert_allclose(got[k_g], w, atol=1e-4, rtol=1e-3)
+
+
+def test_parse_elf_fuzz_never_crashes(yolo_fixture):
+    """Corrupted/truncated .mgk bytes fail with ValueError (or parse),
+    never an uncontrolled exception: 200 seeded single-byte flips
+    biased into the ELF header + section table, plus truncations."""
+    data, _, _, _ = yolo_fixture
+    buf = bytearray(data)
+    rng = np.random.default_rng(7)
+    for cut in (0, 3, 0x20, 0x33, len(buf) // 2, len(buf) - 1):
+        try:
+            MGK.parse_elf(bytes(buf[:cut]))
+        except ValueError:
+            pass
+    for _ in range(200):
+        pos = int(rng.integers(0, 0x400 if rng.random() < 0.5
+                               else len(buf)))
+        old = buf[pos]
+        buf[pos] = int(rng.integers(0, 256))
+        try:
+            MGK.parse_elf(bytes(buf))
+        except ValueError:
+            pass
+        finally:
+            buf[pos] = old

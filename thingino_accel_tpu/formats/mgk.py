@@ -63,6 +63,8 @@ class ElfFile:
 
 
 def parse_elf(data: bytes) -> ElfFile:
+    if len(data) < 0x34:
+        raise ValueError("truncated ELF header")
     if data[:4] != b"\x7fELF":
         raise ValueError("not an ELF file")
     if data[4] != 1 or data[5] != 1:
@@ -70,6 +72,10 @@ def parse_elf(data: bytes) -> ElfFile:
     e_shoff, = struct.unpack_from("<I", data, 0x20)
     e_shentsize, e_shnum, e_shstrndx = struct.unpack_from("<HHH", data, 0x2E)
     elf_end = e_shoff + e_shnum * e_shentsize
+    if e_shentsize < 40 or elf_end > len(data):
+        raise ValueError(
+            f"section header table out of bounds: {e_shnum} entries of "
+            f"{e_shentsize}B at {e_shoff}, file has {len(data)}")
 
     raw_sections = []
     for i in range(e_shnum):
@@ -107,7 +113,9 @@ def parse_elf(data: bytes) -> ElfFile:
         str_off = (raw_sections[link][3]
                    if 0 < link < len(raw_sections)
                    and raw_sections[link][1] == 3 else fallback)
-        for so in range(off, off + size, 16):  # Elf32_Sym = 16 bytes
+        # clamp to the file: a corrupted sh_size must not unpack past
+        # the end (the str_at ValueError below is already tolerated)
+        for so in range(off, min(off + size, len(data) - 15), 16):
             st_name, st_value, st_size, _info, _other, _shndx = \
                 struct.unpack_from("<IIIBBH", data, so)
             if st_name and str_off is not None:
