@@ -28,6 +28,12 @@ ROWS = [
      {"TAT_BENCH_TIER": "serving", "TAT_STEM_NOGROW": "1"}),
     ("split-heads", [sys.executable, "examples/split_heads_experiment.py"],
      {}),
+    ("fpn-split", [sys.executable, "bench.py"], {"TAT_FPN_SPLIT": "1"}),
+    ("fpn-split-all", [sys.executable, "bench.py"], {"TAT_FPN_SPLIT": "all"}),
+    ("fpn-split-mars",
+     [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "1",
+      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
 ]
 
 

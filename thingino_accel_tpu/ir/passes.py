@@ -412,3 +412,163 @@ def split_detect_heads(graph: Graph, step: int = 85) -> List[List[str]]:
     graph.nodes = [n for n in graph.nodes if id(n) not in drop_nodes]
     graph.validate()
     return groups
+
+
+def split_concat_convs(graph: Graph, mode: str = "upsample") -> int:
+    """Split 1x1 float convs over channel concats into per-part dots.
+
+    ``conv1x1(concat(p0, p1, ...))`` becomes ``act(sum_i conv1x1_i(p_i))``
+    with the weight matrix sliced along input channels — the concat
+    buffer is never materialized for this consumer (XLA dot operands
+    must be materialized, so a concat feeding a conv always costs a
+    whole-tensor copy otherwise). When a part is a nearest-neighbor
+    UPSAMPLE output, its dot additionally commutes below the upsample —
+    ``conv1x1(up(x)) == up(conv1x1(x))`` exactly, since both the conv
+    and the duplication are pointwise in space — so that part's MACs run
+    at the LOW resolution (4x fewer at scale 2) and the broadcast fuses
+    into the final elementwise add instead of materializing.
+
+    This is the fast-tier analog of the serving tier's virtual-concat
+    kernels (``ops/fused_kernels.matmul_int8_fused_multi``); the target
+    is the FPN ``upsample -> concat -> C3`` nodes of the YOLO neck
+    (reference semantics anchor: the concat executor it bypasses,
+    ``src/mars/mars_runtime.c:963-1000``).
+
+    Float graphs only (run after ``dequantize_graph``): the rewrite
+    reorders the channel accumulation, which is exact in math but not
+    in the int8 tier's single-requant dataflow.
+
+    ``mode``: ``"upsample"`` rewrites only concats with at least one
+    upsampled part (the FPN win); ``"all"`` rewrites every eligible
+    1x1-over-concat. Returns the number of convs rewritten.
+    """
+    producers: Dict[str, Node] = {}
+    for n in graph.nodes:
+        for o in n.outputs:
+            producers[o] = n
+
+    def is_float(nm: str) -> bool:
+        return not (np.issubdtype(graph.tensors[nm].dtype, np.signedinteger))
+
+    new_nodes: List[Node] = []
+    n_rewritten = 0
+    uid = 0
+    for node in graph.nodes:
+        a = node.attrs
+        ok = (node.op == "CONV2D"
+              and a.get("kernel") == (1, 1)
+              and a.get("stride") == (1, 1)
+              and a.get("dilation", (1, 1)) == (1, 1)
+              and a.get("groups", 1) == 1
+              and tuple(a.get("explicit_pad") or (0, 0, 0, 0)) == (0, 0, 0, 0)
+              and a.get("activation", "NONE") in (
+                  "NONE", "RELU", "SILU", "LEAKY_RELU", "RELU6", "SIGMOID")
+              and len(node.inputs) >= 2)
+        src = producers.get(node.inputs[0]) if ok else None
+        ok = (ok and src is not None and src.op == "CONCAT"
+              and len(src.inputs) >= 2
+              and is_float(node.inputs[0])
+              and graph.tensors[node.inputs[1]].is_const
+              and is_float(node.inputs[1])
+              and all(i in graph.tensors and len(graph.tensors[i].shape) == 4
+                      for i in src.inputs))
+        if ok:
+            parts = [graph.tensors[i] for i in src.inputs]
+            x_t = graph.tensors[node.inputs[0]]
+            ok = (sum(p.shape[3] for p in parts) == x_t.shape[3]
+                  and all(p.shape[:3] == x_t.shape[:3] for p in parts)
+                  and all(is_float(i) for i in src.inputs)
+                  and 0 not in x_t.shape)
+        if ok:
+            # per-part plan: (input name, low-res?, upsample attrs)
+            plan = []
+            any_up = False
+            for i in src.inputs:
+                p = producers.get(i)
+                if (p is not None and p.op == "UPSAMPLE"
+                        and p.attrs.get("mode", 0) == 0
+                        and is_float(p.inputs[0])):
+                    lo = graph.tensors[p.inputs[0]]
+                    hi = graph.tensors[i]
+                    sc = p.attrs.get("scale", (0, 0))
+                    if (sc[0] > 0 and sc[1] > 0
+                            and lo.shape[1] * sc[0] == hi.shape[1]
+                            and lo.shape[2] * sc[1] == hi.shape[2]):
+                        plan.append((p.inputs[0], dict(p.attrs)))
+                        any_up = True
+                        continue
+                plan.append((i, None))
+            if mode == "upsample" and not any_up:
+                ok = False
+        if not ok:
+            new_nodes.append(node)
+            continue
+
+        out_name = node.outputs[0]
+        out_t = graph.tensors[out_name]
+        w_t = graph.tensors[node.inputs[1]]
+        W = w_t.data                       # OIHW float [O, C, 1, 1]
+        o_ch = W.shape[0]
+        bias_in = list(node.inputs[2:3])   # attach to the first part conv
+        act = a.get("activation", "NONE")
+        fdt = np.dtype(np.float32)
+
+        def fresh(tag, shape):
+            nonlocal uid
+            uid += 1
+            nm = f"{out_name}__scc{uid}_{tag}"
+            graph.tensors[nm] = TensorInfo(name=nm, shape=tuple(shape),
+                                           dtype=fdt)
+            return nm
+
+        acc = None
+        off = 0
+        for pi, (src_nm, up_attrs) in enumerate(plan):
+            ci = graph.tensors[src.inputs[pi]].shape[3]
+            wnm = fresh(f"w{pi}", (o_ch, ci, 1, 1))
+            graph.tensors[wnm].data = np.ascontiguousarray(
+                W[:, off:off + ci]).astype(W.dtype)
+            graph.tensors[wnm].dtype = W.dtype
+            off += ci
+            st = graph.tensors[src_nm]
+            part_out = fresh(f"p{pi}", (st.shape[0], st.shape[1],
+                                        st.shape[2], o_ch))
+            new_nodes.append(Node(
+                op="CONV2D", inputs=[src_nm, wnm] + (bias_in if pi == 0
+                                                     else []),
+                outputs=[part_out],
+                attrs=dict(kernel=(1, 1), stride=(1, 1), dilation=(1, 1),
+                           padding="EXPLICIT", explicit_pad=(0, 0, 0, 0),
+                           groups=1, activation="NONE"),
+                name=f"{node.name}_scc{pi}"))
+            if up_attrs is not None:
+                up_out = fresh(f"u{pi}", (st.shape[0],
+                                          st.shape[1] * up_attrs["scale"][0],
+                                          st.shape[2] * up_attrs["scale"][1],
+                                          o_ch))
+                new_nodes.append(Node(op="UPSAMPLE", inputs=[part_out],
+                                      outputs=[up_out], attrs=up_attrs,
+                                      name=f"{node.name}_sccu{pi}"))
+                part_out = up_out
+            if acc is None:
+                acc = part_out
+            else:
+                tgt = (out_name if (pi == len(plan) - 1 and act == "NONE")
+                       else fresh(f"s{pi}", out_t.shape))
+                new_nodes.append(Node(op="ADD", inputs=[acc, part_out],
+                                      outputs=[tgt],
+                                      name=f"{node.name}_scca{pi}"))
+                acc = tgt
+        if act != "NONE":
+            new_nodes.append(Node(
+                op=act, inputs=[acc], outputs=[out_name],
+                attrs=({"alpha": a.get("alpha")} if act == "LEAKY_RELU"
+                       else {}),
+                name=f"{node.name}_sccact"))
+        n_rewritten += 1
+
+    if n_rewritten:
+        graph.nodes = new_nodes
+        dead_code(graph)
+        graph.validate()
+    return n_rewritten

@@ -21,6 +21,7 @@ import numpy as np
 from thingino_accel_tpu.formats import mars as M
 from thingino_accel_tpu.ir.graph import Graph, from_mars
 from thingino_accel_tpu.ir import passes
+from thingino_accel_tpu.utils import config
 from thingino_accel_tpu.runtime.executor import (
     ExecOptions, build_executor, prepare_params,
 )
@@ -69,6 +70,10 @@ class Engine:
             if self.options.compute_dtype == jnp.float32:
                 self.options = dataclasses.replace(
                     self.options, compute_dtype=jnp.bfloat16)
+            fpn_split = config.get("TAT_FPN_SPLIT")
+            if fpn_split:
+                passes.split_concat_convs(
+                    graph, mode="all" if fpn_split == "all" else "upsample")
         elif self.options.precision == "serving" and \
                 self.options.mode == "full":
             graph = passes.fuse_act_into_conv(graph)

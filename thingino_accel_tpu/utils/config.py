@@ -62,6 +62,11 @@ _register("TAT_SERVING_COMPUTE", "int8", str,
           "serving-tier MXU compute dtype: int8 (exact int32 MACs) | "
           "bf16 (int8 HBM I/O, in-VMEM cast, f32 accumulation — "
           "exact while K*K*C <= 1024)")
+_register("TAT_FPN_SPLIT", "", str,
+          "fast tier: split 1x1 convs over channel concats into "
+          "per-part dots (upsampled parts computed at low res, the "
+          "broadcast fuses into the add). '1' = upsample-concats only "
+          "(FPN nodes); 'all' = every 1x1-over-concat; '' = off")
 _register("TAT_STEM_NOGROW", False, _bool,
           "serving tier: limit the XLA stem stage to the thin-channel "
           "seed convs (cin < 16); the convs it would grow into run on "
