@@ -34,6 +34,13 @@ ROWS = [
      [sys.executable, "bench.py"],
      {"TAT_FPN_SPLIT": "1",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    ("merge", [sys.executable, "bench.py"], {"TAT_CONV_MERGE": "1"}),
+    ("merge-fpn", [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1"}),
+    ("merge-mars",
+     [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1",
+      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
 ]
 
 

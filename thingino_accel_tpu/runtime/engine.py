@@ -70,6 +70,8 @@ class Engine:
             if self.options.compute_dtype == jnp.float32:
                 self.options = dataclasses.replace(
                     self.options, compute_dtype=jnp.bfloat16)
+            if config.get("TAT_CONV_MERGE"):
+                passes.merge_sibling_convs(graph)
             fpn_split = config.get("TAT_FPN_SPLIT")
             if fpn_split:
                 passes.split_concat_convs(

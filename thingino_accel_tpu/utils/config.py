@@ -62,6 +62,10 @@ _register("TAT_SERVING_COMPUTE", "int8", str,
           "serving-tier MXU compute dtype: int8 (exact int32 MACs) | "
           "bf16 (int8 HBM I/O, in-VMEM cast, f32 accumulation — "
           "exact while K*K*C <= 1024)")
+_register("TAT_CONV_MERGE", False, _bool,
+          "fast tier: merge sibling convs over the same input into one "
+          "wider conv + SPLIT (exact; doubles MXU lane utilization on "
+          "the C3 cv1/cv2 pairs)")
 _register("TAT_FPN_SPLIT", "", str,
           "fast tier: split 1x1 convs over channel concats into "
           "per-part dots (upsampled parts computed at low res, the "
