@@ -219,6 +219,19 @@ def main() -> int:
             build(gq, precision="fast", accum_dtype=jnp.bfloat16),
             gq, det_scales_q, "int8"),
     }
+    # prospective bench config: the round-3 graph rewrites on top of
+    # the bench tier (merge_sibling_convs is exact in math; the FPN
+    # split reassociates the channel accumulation — <= 2 quanta on
+    # the raw heads; this row shows the detection-level effect)
+    os.environ["TAT_CONV_MERGE"] = "1"
+    os.environ["TAT_FPN_SPLIT"] = "1"
+    try:
+        tiers["fast + merge/FPN-split"] = (
+            build(gq, precision="fast", accum_dtype=jnp.bfloat16),
+            gq, det_scales_q, "int8")
+    finally:
+        os.environ.pop("TAT_CONV_MERGE", None)
+        os.environ.pop("TAT_FPN_SPLIT", None)
 
     evals = [img] + _augments(img, args.n_eval - 1, seed=7,
                               mosaics=True)

@@ -77,6 +77,22 @@ def test_fast_tier_numeric_parity(rng, act, monkeypatch):
         assert (d > 0).mean() < 0.05
 
 
+def test_all_mode_numeric_yolov5(rng, monkeypatch):
+    """mode='all' (every 1x1-over-concat, incl. SPPF and PAN concats)
+    on the whole yolov5n zoo graph: within the reassociation bound."""
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64),
+                                            w_scale=0.0005))
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    monkeypatch.delenv("TAT_FPN_SPLIT", raising=False)
+    base = Engine(g, EngineOptions(precision="fast")).run_np(x)
+    monkeypatch.setenv("TAT_FPN_SPLIT", "all")
+    split = Engine(g, EngineOptions(precision="fast")).run_np(x)
+    for k in base:
+        d = np.abs(base[k].astype(np.int32) - split[k].astype(np.int32))
+        assert d.max() <= 2, (k, d.max())
+        assert (d > 0).mean() < 0.1
+
+
 def test_upsample_commutation_exact(rng):
     """conv1x1(up(x)) == up(conv1x1(x)) holds exactly (identical
     products and sums per output position): with a concat whose skip
