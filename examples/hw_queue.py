@@ -41,6 +41,17 @@ ROWS = [
      [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    ("merge-fpn-mars",
+     [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
+      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    # b128 was only swept on yolov5s; v5n is 3.6x smaller (VMEM
+    # headroom) — check whether 256 wins there
+    ("merge-fpn-mars-b256",
+     [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
+      "TAT_BENCH_BATCH": "256",
+      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
 ]
 
 

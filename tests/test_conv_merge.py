@@ -98,6 +98,23 @@ def test_merge_composes_with_fpn_split(rng, monkeypatch):
         assert d.max() <= 2, (k, d.max())
 
 
+def test_merge_split_nanodet(rng, monkeypatch):
+    """Second architecture (depthwise + LEAKY_RELU PAN): merge+split
+    within the reassociation bound; depthwise convs untouched."""
+    g = zoo.build_nanodet(zoo.ZooConfig(dtype="int8", in_hw=(64, 64),
+                                        w_scale=0.0005))
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    monkeypatch.delenv("TAT_CONV_MERGE", raising=False)
+    monkeypatch.delenv("TAT_FPN_SPLIT", raising=False)
+    base = Engine(g, EngineOptions(precision="fast")).run_np(x)
+    monkeypatch.setenv("TAT_CONV_MERGE", "1")
+    monkeypatch.setenv("TAT_FPN_SPLIT", "1")
+    both = Engine(g, EngineOptions(precision="fast")).run_np(x)
+    for k in base:
+        d = np.abs(base[k].astype(np.int32) - both[k].astype(np.int32))
+        assert d.max() <= 2, (k, d.max())
+
+
 def test_mixed_bias_siblings(rng, monkeypatch):
     """A biasless sibling merges with a biased one (zero-filled rows)."""
     g = _sibling_graph("NONE")
