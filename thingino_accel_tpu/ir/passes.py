@@ -466,11 +466,14 @@ def split_concat_convs(graph: Graph, mode: str = "upsample") -> int:
               and len(node.inputs) >= 2)
         src = producers.get(node.inputs[0]) if ok else None
         ok = (ok and src is not None and src.op == "CONCAT"
+              and src.attrs.get("axis", 3) == 3
               and len(src.inputs) >= 2
               and is_float(node.inputs[0])
               and graph.tensors[node.inputs[1]].is_const
               and is_float(node.inputs[1])
-              and all(i in graph.tensors and len(graph.tensors[i].shape) == 4
+              and all(i in graph.tensors
+                      and not graph.tensors[i].is_const
+                      and len(graph.tensors[i].shape) == 4
                       for i in src.inputs))
         if ok:
             parts = [graph.tensors[i] for i in src.inputs]
