@@ -57,6 +57,10 @@ class EngineOptions(ExecOptions):
     quantize_outputs: bool = True  # fast tier: keep int8 outputs at edges
     donate_inputs: bool = False
     jit: bool = True
+    # fast-tier graph rewrites; None = the TAT_CONV_MERGE /
+    # TAT_FPN_SPLIT env defaults (utils/config.py)
+    conv_merge: Optional[bool] = None
+    fpn_split: Optional[str] = None   # "" | "1"/"upsample" | "all"
 
 
 class Engine:
@@ -70,9 +74,14 @@ class Engine:
             if self.options.compute_dtype == jnp.float32:
                 self.options = dataclasses.replace(
                     self.options, compute_dtype=jnp.bfloat16)
-            if config.get("TAT_CONV_MERGE"):
+            merge = self.options.conv_merge
+            if merge is None:
+                merge = config.get("TAT_CONV_MERGE")
+            if merge:
                 passes.merge_sibling_convs(graph)
-            fpn_split = config.get("TAT_FPN_SPLIT")
+            fpn_split = self.options.fpn_split
+            if fpn_split is None:
+                fpn_split = config.get("TAT_FPN_SPLIT")
             if fpn_split:
                 passes.split_concat_convs(
                     graph, mode="all" if fpn_split == "all" else "upsample")
