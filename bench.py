@@ -38,6 +38,39 @@ def _enable_compile_cache() -> None:
     enable_compile_cache()
 
 
+def _wait_for_backend() -> None:
+    """Block until the TPU tunnel answers (or the wait budget runs out).
+
+    The tunneled backend goes UNAVAILABLE for stretches; a bench run
+    that starts during one records a meaningless 0.0. Probe with a
+    tiny op in a SUBPROCESS (an in-process failed init can wedge the
+    tunnel client permanently) and retry up to TAT_BENCH_WAIT seconds
+    (default 1800; 0 disables)."""
+    import subprocess
+    budget = float(os.environ.get("TAT_BENCH_WAIT", "1800"))
+    deadline = time.monotonic() + budget
+    probe = ("import jax, jax.numpy as jnp; "
+             "jnp.ones((2, 2)).sum().block_until_ready()")
+    first = True
+    while budget > 0:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print("# backend still unavailable after "
+                  f"{budget:.0f}s wait budget", file=sys.stderr)
+            return
+        if first:
+            print("# backend unavailable; retrying (TAT_BENCH_WAIT="
+                  f"{budget:.0f}s) ...", file=sys.stderr)
+            first = False
+        time.sleep(60)
+
+
 def build_pipeline(batch: int, size: str):
     import jax
     import jax.numpy as jnp
@@ -148,6 +181,7 @@ def measure(batch: int, size: str, iters: int) -> float:
 
 
 def main() -> None:
+    _wait_for_backend()
     _enable_compile_cache()
     size = os.environ.get("TAT_BENCH_MODEL", "s")
     iters = int(os.environ.get("TAT_BENCH_ITERS", "30"))

@@ -45,6 +45,10 @@ _register("TAT_CONV_BACKEND", "xla", str,
           "int8 conv backend: xla | pallas (the USE_MXU analog)")
 _register("TAT_BENCH_BATCH", 0, int, "bench.py batch override")
 _register("TAT_BENCH_ITERS", 10, int, "bench.py timed iterations")
+_register("TAT_BENCH_WAIT", 1800, int,
+          "bench.py: seconds to wait for the TPU tunnel to answer "
+          "before giving up (it goes UNAVAILABLE for stretches; "
+          "0 = no wait)")
 _register("TAT_BENCH_MODEL", "s", str, "bench.py yolov5 size letter")
 _register("TAT_BENCH_EXACT", False, _bool,
           "bench the exact int8 tier instead of fast bf16")
