@@ -131,3 +131,27 @@ def test_mixed_bias_siblings(rng, monkeypatch):
     merged = Engine(g, EngineOptions(precision="fast")).run_np(x)
     for k in base:
         np.testing.assert_array_equal(base[k], merged[k])
+
+
+def test_bench_combo_s2d_merge_split(rng, monkeypatch):
+    """The bench pipeline's full pass stack (s2d stem ingest + merge +
+    FPN split) on yolov5n: detections within the reassociation bound
+    of the plain fast tier."""
+    from thingino_accel_tpu.ir.passes import stem_space_to_depth
+    from thingino_accel_tpu.models import yolo
+
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(64, 64), w_scale=0.0005)
+    monkeypatch.delenv("TAT_CONV_MERGE", raising=False)
+    monkeypatch.delenv("TAT_FPN_SPLIT", raising=False)
+    base = Engine(zoo.build_yolov5("n", cfg),
+                  EngineOptions(precision="fast")).run_np(x)
+    g = zoo.build_yolov5("n", cfg)
+    assert stem_space_to_depth(g)
+    combo = Engine(g, EngineOptions(precision="fast", conv_merge=True,
+                                    fpn_split="1")
+                   ).run_np(yolo.space_to_depth_frames(x))
+    for k in base:
+        d = np.abs(base[k].astype(np.int32) - combo[k].astype(np.int32))
+        assert d.max() <= 2, (k, d.max())
+        assert (d > 0).mean() < 0.1
