@@ -23,6 +23,12 @@ Env knobs:
                     and the host writes the same bytes once in either
                     order; 0 = row-major NHWC ingest (4,265 vs 4,382
                     fps measured).
+  TAT_BENCH_WAIT    seconds to wait for the TPU tunnel to answer before
+                    measuring (default 1800; it goes UNAVAILABLE for
+                    stretches). 0 disables the wait.
+  TAT_CONV_MERGE    fast tier: merge sibling convs (see utils/config.py)
+  TAT_FPN_SPLIT     fast tier: split 1x1-over-concat convs; upsampled
+                    parts run at low resolution
 """
 
 from __future__ import annotations
