@@ -162,8 +162,12 @@ def build_pipeline(batch: int, size: str):
     # the H2D DMA writes every byte once either way, so this is free
     # in real serving; runtime/ingest.py, +6% e2e measured).
     from thingino_accel_tpu.runtime.ingest import ingest
+    # s2d graphs carry the REWRITTEN input shape (H/2, W/2, 4C): raw
+    # camera frames are at 2x that, packed by space_to_depth_frames
     raw = np.random.default_rng(0).integers(
-        0, 256, (batch, 640, 640, 3) if s2d else (batch,) + in_hw + (3,),
+        0, 256,
+        ((batch, in_hw[0] * 2, in_hw[1] * 2, 3) if s2d
+         else (batch,) + in_hw + (3,)),
         dtype=np.uint8)
     if s2d:
         raw = yolo.space_to_depth_frames(raw)   # the camera-DMA order

@@ -63,11 +63,18 @@ def main() -> int:
             continue
         env = dict(os.environ, **extra)
         print(f"=== {name} ({extra or 'defaults'}) ===", flush=True)
-        p = subprocess.run(argv, cwd=ROOT, env=env, text=True,
-                           capture_output=True, timeout=3600)
-        out = (p.stdout + p.stderr).strip()
+        try:
+            p = subprocess.run(argv, cwd=ROOT, env=env, text=True,
+                               capture_output=True, timeout=3600)
+            rc, out = p.returncode, (p.stdout + p.stderr).strip()
+        except subprocess.TimeoutExpired as e:
+            # one wedged row must not abort the queue (per-row blast
+            # radius is the whole point of the subprocess isolation)
+            rc = 124
+            part = e.stdout.decode("utf-8", "replace") if e.stdout else ""
+            out = (part + "\n[row timed out after 3600s]").strip()
         print(out[-2000:], flush=True)
-        results.append((name, p.returncode, out.splitlines()[-1] if out else ""))
+        results.append((name, rc, out.splitlines()[-1] if out else ""))
     print("\n=== summary ===")
     for name, rc, last in results:
         print(f"{name:24} rc={rc}  {last}")

@@ -571,3 +571,56 @@ def test_serving_compute_env_knob(rng, monkeypatch):
     exp = np.asarray(FK.matmul_int8_fused(x, w, None, 0.02, 0.01, 0.05,
                                           act="RELU", compute="bf16"))
     np.testing.assert_array_equal(env_out, exp)
+
+
+def test_matmul_multi_mixed_scales_silu(rng):
+    """Regression: the per-part-scale branch used to DROP SILU (no
+    elif handled it) — the activation must survive unequal scales."""
+    m, k1, k2, n = 32, 64, 64, 32
+    x1 = rng.integers(-100, 100, (m, k1), dtype=np.int8)
+    x2 = rng.integers(-100, 100, (m, k2), dtype=np.int8)
+    w = rng.integers(-64, 64, (k1 + k2, n), dtype=np.int8)
+    b = rng.integers(-500, 500, (n,), dtype=np.int32)
+    s1, s2, ws, so = 0.03, 0.05, 0.02, 0.07
+    got = np.asarray(FK.matmul_int8_fused_multi(
+        [jnp.asarray(x1), jnp.asarray(x2)],
+        [jnp.asarray(w[:k1]), jnp.asarray(w[k1:])],
+        jnp.asarray(b), [s1, s2], ws, so, act="SILU"))
+    a1 = x1.astype(np.int32) @ w[:k1].astype(np.int32)
+    a2 = x2.astype(np.int32) @ w[k1:].astype(np.int32)
+    pre = (a1.astype(np.float32) * np.float32(s1)
+           + a2.astype(np.float32) * np.float32(s2)
+           + b.astype(np.float32) * np.float32(s1)) * np.float32(ws)
+    pre = pre.astype(np.float32)
+    pre = pre / (1.0 + np.exp(-pre, dtype=np.float32))
+    sc = pre * np.float32(1.0 / np.float32(so))
+    sh = sc + np.where(sc >= 0, np.float32(0.5), np.float32(-0.5))
+    ref = np.clip(np.trunc(sh), -128, 127).astype(np.int8)
+    d = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert d.max() <= 1          # sigmoid transcendental tolerance
+    assert (d > 0).mean() < 0.02
+
+
+def test_matmul_multi_mixed_scales_leaky(rng):
+    """Regression: unequal-scale LEAKY_RELU must use the reference's
+    post-quantization int-domain alpha (mars_runtime.c:1078-1082),
+    like the same-scale epilogue — not f32 pre-activation alpha."""
+    m, k1, k2, n = 32, 64, 64, 32
+    x1 = rng.integers(-100, 100, (m, k1), dtype=np.int8)
+    x2 = rng.integers(-100, 100, (m, k2), dtype=np.int8)
+    w = rng.integers(-64, 64, (k1 + k2, n), dtype=np.int8)
+    s1, s2, ws, so, alpha = 0.03, 0.05, 0.02, 0.07, 0.1
+    got = np.asarray(FK.matmul_int8_fused_multi(
+        [jnp.asarray(x1), jnp.asarray(x2)],
+        [jnp.asarray(w[:k1]), jnp.asarray(w[k1:])],
+        None, [s1, s2], ws, so, act="LEAKY_RELU", alpha=alpha))
+    a1 = x1.astype(np.int32) @ w[:k1].astype(np.int32)
+    a2 = x2.astype(np.int32) @ w[k1:].astype(np.int32)
+    pre = (a1.astype(np.float32) * np.float32(s1)
+           + a2.astype(np.float32) * np.float32(s2)) * np.float32(ws)
+    sc = pre * np.float32(1.0 / np.float32(so))
+    sh = sc + np.where(sc >= 0, np.float32(0.5), np.float32(-0.5))
+    q = np.clip(np.trunc(sh), -128, 127)
+    neg = np.maximum(np.trunc(q * np.float32(alpha)), -128.0)
+    ref = np.where(q > 0, q, neg).astype(np.int8)
+    np.testing.assert_array_equal(got, ref)

@@ -140,3 +140,17 @@ def test_split_detect_heads_skips_consumed_output():
     extra = b.conv(h, 8, 1, act="NONE")   # consumes the packed head
     g = b.finish([h, extra])
     assert split_detect_heads(g) == []
+
+
+def test_stem_s2d_rejects_k4_misaligned():
+    """K=4/8 stems are NOT block-expressible: SAME per-side pad
+    (K-2)/2 is odd, so the stride-2 window starts mid-block and the
+    rewrite would shift every output by one pixel. Only K ≡ 2 (mod 4)
+    (e.g. the 6x6 YOLO stem) is valid."""
+    for k in (4, 8):
+        cfg = zoo.ZooConfig(dtype="int8", in_hw=(16, 16))
+        b = zoo.GraphBuilder(f"s2dk{k}", cfg)
+        x = b.input("images", (1, 16, 16, 3))
+        y = b.conv(x, 24, k, 2)
+        g = b.finish([y])
+        assert stem_space_to_depth(g) is False, k

@@ -297,8 +297,9 @@ def stem_space_to_depth(graph: Graph) -> bool:
     apply this pass for pre-sized feeds).
 
     Returns True if the graph was rewritten (exactly one eligible stem:
-    conv consuming a graph input with even K, stride 2, cin < 16, even
-    spatial dims, and SAME padding whose total pad is even).
+    conv consuming a graph input with K ≡ 2 (mod 4), stride 2, cin < 16,
+    even spatial dims, and SAME padding — the per-side pad (K-2)/2 must
+    itself be even to land on 2x2-block boundaries, which K=4/8 do not).
     """
     in_names = set(graph.inputs)
     cons = graph.consumers()
@@ -313,8 +314,12 @@ def stem_space_to_depth(graph: Graph) -> bool:
             continue
         b, h, w, c = in_t.shape
         kh, kw = node.attrs.get("kernel", (0, 0))
-        if (node.attrs.get("stride") != (2, 2) or kh != kw or kh % 2
-                or kh == 0 or c >= 16 or h % 2 or w % 2
+        # K must be ≡ 2 (mod 4): the SAME per-side pad (K-2)/2 has to
+        # be EVEN to be expressible as whole 2x2-block pads — for
+        # K=4/8 the stride-2 window starts at an odd pixel row and no
+        # block conv reproduces it (every output would shift by one).
+        if (node.attrs.get("stride") != (2, 2) or kh != kw
+                or kh % 4 != 2 or c >= 16 or h % 2 or w % 2
                 or node.attrs.get("groups", 1) != 1
                 or node.attrs.get("dilation", (1, 1)) != (1, 1)):
             continue

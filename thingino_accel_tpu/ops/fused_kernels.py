@@ -144,6 +144,17 @@ def _epilogue(acc, bias_row, cs_row, *, act: str, inv_out: float,
         # |acc| < 2^24), so the epilogue arithmetic below is
         # bit-identical between compute modes in that range
         pre = (acc + bias_row.astype(jnp.float32)) * cs_row
+    return _act_requant(pre, act=act, inv_out=inv_out, alpha=alpha,
+                        res=res, res_scale=res_scale)
+
+
+def _act_requant(pre, *, act: str, inv_out: float, alpha: float,
+                 res=None, res_scale: float = 1.0):
+    """Activation + requantize on the real-valued pre-activation tile
+    (the tail of :func:`_epilogue`, shared with the per-part-scale
+    branch of the virtual-concat kernel so both implement the same
+    reference semantics — notably LEAKY_RELU's post-quantization
+    int-domain alpha)."""
     if act == "RELU":
         pre = jnp.maximum(pre, 0.0)
     elif act == "SILU":
@@ -342,20 +353,9 @@ def _mm_multi_kernel(*refs, n_parts: int, same_scale: bool,
                 jnp.float32(part_scales[i])
         accf = (accf + bias_ref[:].astype(jnp.float32)
                 * jnp.float32(bias_scale)) * cs_ref[:]
-        if act == "RELU":
-            accf = jnp.maximum(accf, 0.0)
-        elif act == "LEAKY_RELU":
-            accf = jnp.where(accf >= 0, accf, jnp.float32(alpha) * accf)
-        elif act == "SILU":
-            accf = accf * jax.nn.sigmoid(accf)
-        if has_res:
-            accf = accf + res_ref[:].astype(jnp.float32) * \
-                jnp.float32(res_scale)
-        scaled = accf * jnp.float32(inv_out)
-        shifted = scaled + jnp.where(
-            scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))
-        out_ref[:] = jnp.clip(jnp.trunc(shifted), -128, 127) \
-            .astype(jnp.int8)
+        out_ref[:] = _act_requant(
+            accf, act=act, inv_out=inv_out, alpha=alpha,
+            res=res_ref[:] if has_res else None, res_scale=res_scale)
 
 
 def matmul_int8_fused_multi(

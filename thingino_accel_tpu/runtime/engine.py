@@ -74,6 +74,11 @@ class Engine:
             if self.options.compute_dtype == jnp.float32:
                 self.options = dataclasses.replace(
                     self.options, compute_dtype=jnp.bfloat16)
+            if self.options.fold_bn:
+                # fold BEFORE the structural rewrites: merging/splitting
+                # a conv that feeds a BatchNorm would break the conv->BN
+                # adjacency the fold needs (f32-imported graphs)
+                graph = passes.fold_batchnorm(graph)
             merge = self.options.conv_merge
             if merge is None:
                 merge = config.get("TAT_CONV_MERGE")

@@ -97,7 +97,12 @@ def calibrate(
                                 float(a.max()) if a.size else 0.0)
             if method == "mse":
                 k = min(a.size, max(1024, mse_samples // 8))
-                idx = rng.choice(a.size, size=k, replace=False) \
+                # with-replacement draw: rng.choice(n, replace=False)
+                # materializes an O(n) int64 permutation per tensor per
+                # batch (~400MB for a 50M-element activation) just to
+                # keep k samples; replacement is statistically
+                # equivalent here (k << n)
+                idx = rng.integers(0, a.size, size=k) \
                     if a.size > k else slice(None)
                 samples.setdefault(name, []).append(a[idx])
             elif percentile is not None and a.size > 1000:
