@@ -616,11 +616,34 @@ def test_matmul_multi_mixed_scales_leaky(rng):
         None, [s1, s2], ws, so, act="LEAKY_RELU", alpha=alpha))
     a1 = x1.astype(np.int32) @ w[:k1].astype(np.int32)
     a2 = x2.astype(np.int32) @ w[k1:].astype(np.int32)
-    pre = (a1.astype(np.float32) * np.float32(s1)
-           + a2.astype(np.float32) * np.float32(s2)) * np.float32(ws)
-    sc = pre * np.float32(1.0 / np.float32(so))
+    # single host-combined multiply (cs = w/out, inv_out = 1): LEAKY
+    # rides the linear requant path like _scale_rows
+    sc = (a1.astype(np.float32) * np.float32(s1)
+          + a2.astype(np.float32) * np.float32(s2)) \
+        * (np.float32(ws) / np.float32(so))
     sh = sc + np.where(sc >= 0, np.float32(0.5), np.float32(-0.5))
     q = np.clip(np.trunc(sh), -128, 127)
     neg = np.maximum(np.trunc(q * np.float32(alpha)), -128.0)
     ref = np.where(q > 0, q, neg).astype(np.int8)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_conv_folded_dma_pipeline_matches_blockspec(rng):
+    """The manual-DMA halo variant (pipeline="dma" — the measured
+    round-3 experiment, docs/KERNELS.md "Manual-DMA postscript") must
+    stay bit-identical to the BlockSpec path so the recorded negative
+    result remains reproducible."""
+    h = w = 16
+    k, s, c, o, f = 3, 1, 32, 32, 2
+    pad = (k - 1) // 2
+    x = rng.integers(-128, 128, (1, h, w, c), dtype=np.int8)
+    wt = rng.integers(-64, 64, (k, k, c, o), dtype=np.int8)
+    b = rng.integers(-500, 500, (o,), dtype=np.int32)
+    xf = jnp.asarray(_fold_np(x, s * f))
+    args = (xf, jnp.asarray(wt), jnp.asarray(b), (h, w), s,
+            ((pad, pad), (pad, pad)), 0.05, 0.02, 0.1)
+    base = np.asarray(FK.conv2d_int8_folded(
+        *args, act="RELU", f_out=f, pipeline="blockspec"))
+    dma = np.asarray(FK.conv2d_int8_folded(
+        *args, act="RELU", f_out=f, pipeline="dma"))
+    np.testing.assert_array_equal(base, dma)

@@ -247,3 +247,28 @@ def test_cli_compile_onnx_to_mars(tmp_path):
     x = np.zeros(eng.input_info().shape, np.float32)
     o = eng.run_np(x)
     assert all(np.isfinite(v).all() for v in o.values())
+
+
+def test_clip_int8_quantized_bounds():
+    """CLIP with ONNX real bounds on an int8 tensor clamps the
+    QUANTIZED bounds (round(v/scale), the RELU6 rule) — raw real
+    bounds on int8 codes would clip at bound*scale instead of bound."""
+    import numpy as np
+    from thingino_accel_tpu.ir.graph import Graph, Node, TensorInfo, QuantInfo
+    from thingino_accel_tpu.runtime import Engine
+
+    sc = 0.05
+    t_in = TensorInfo("x", (1, 2, 2, 4), np.dtype(np.int8),
+                      quant=QuantInfo(scale=sc))
+    t_out = TensorInfo("y", (1, 2, 2, 4), np.dtype(np.int8),
+                       quant=QuantInfo(scale=sc))
+    g = Graph(nodes=[Node(op="CLIP", inputs=["x"], outputs=["y"],
+                          attrs={"min": -1.0, "max": 1.0})],
+              tensors={"x": t_in, "y": t_out},
+              inputs=["x"], outputs=["y"], name="clip")
+    x = np.arange(-64, -48, dtype=np.int8).reshape(1, 2, 2, 4)
+    out = Engine(g).run_np(x)["y"]
+    assert out.min() == -20                      # round(-1.0 / 0.05)
+    x2 = np.arange(48, 64, dtype=np.int8).reshape(1, 2, 2, 4)
+    out2 = Engine(g).run_np(x2)["y"]
+    assert out2.max() == 20

@@ -416,7 +416,10 @@ def matmul_int8_fused_multi(
         ws_v = np.asarray(w_scale, np.float32)
         if ws_v.ndim == 0:
             ws_v = np.full((n,), ws_v, np.float32)
-        if act in ("NONE", "RELU"):
+        if act in ("NONE", "RELU", "LEAKY_RELU"):
+            # LEAKY quantizes on the linear path first (int-domain
+            # alpha in _act_requant) — single host-combined multiply,
+            # consistent with _scale_rows
             cs_v = (ws_v / np.float32(out_scale)).astype(np.float32)
             inv_out = 1.0
         else:
@@ -424,7 +427,9 @@ def matmul_int8_fused_multi(
         cs = jnp.asarray(np.pad(cs_v, (0, np_ - n)).reshape(1, np_))
         b0 = bias if bias is not None else jnp.zeros((n,), jnp.int32)
         b = jnp.pad(b0, (0, np_ - n)).reshape(1, np_)
-    if act in ("NONE", "RELU"):
+    if act in ("NONE", "RELU", "LEAKY_RELU"):
+        # keep in lockstep with _scale_rows' single-multiply tuple
+        # (res + LEAKY is rejected in _act_requant either way)
         res_scale_eff = float(np.float32(res_scale) / np.float32(out_scale))
     else:
         res_scale_eff = float(np.float32(res_scale))
@@ -606,9 +611,11 @@ def conv2d_int8_halo_fused(
     xr = xr[:, :need_rows].reshape(n, need_rows // s, s, wq_tot, cp)
 
     grid = (n, n_tiles_h, _cdiv(op, block_n))
-    kernel = functools.partial(
-        _halo_kernel, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow,
-        act=act, inv_out=inv_out, alpha=alpha)
+    kernel = _named(
+        functools.partial(
+            _halo_kernel, kh=kh, qw=qw, s=s, tile_h=tile_h, ow=ow,
+            act=act, inv_out=inv_out, alpha=alpha),
+        f"halo{kh}x{kh}s{s}_{oh}x{ow}o{o}_{act}")
     out = pl.pallas_call(
         kernel,
         name=getattr(kernel, '__name__', None),
@@ -1084,7 +1091,9 @@ def conv2d_int8_folded(
         return out
 
     grid = (n, n_tiles_h, _cdiv(op, block_n))
-    if act in ("NONE", "RELU"):
+    if act in ("NONE", "RELU", "LEAKY_RELU"):
+        # keep in lockstep with _scale_rows' single-multiply tuple
+        # (res + LEAKY is rejected in _act_requant either way)
         res_scale_eff = float(np.float32(res_scale) / np.float32(out_scale))
     else:
         res_scale_eff = float(np.float32(res_scale))
@@ -1535,6 +1544,8 @@ def conv2d_int8_stem_fused(
             (np.float32(in_scale) * ws).astype(np.float32))
         if act == "SILU":
             pre = pre * jax.nn.sigmoid(pre)
+        elif act == "SILU_FAST":
+            pre = pre * _sigmoid_fast(pre)
         scaled = pre * jnp.float32(float(1.0 / np.float32(out_scale)))
     shifted = scaled + jnp.where(
         scaled >= 0, jnp.float32(0.5), jnp.float32(-0.5))

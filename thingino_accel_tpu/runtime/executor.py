@@ -171,7 +171,30 @@ def build_executor(
 # are not fold-aware get logical inputs via a lazy unfold.
 
 _FOLD_ELTWISE = ("RELU", "RELU6", "LEAKY_RELU", "SILU", "SILU_FUSED",
-                 "SIGMOID", "CLIP", "TANH")
+                 "SIGMOID", "CLIP")
+
+
+def _clip_q(x, lo, hi, in_scale):
+    """CLIP with ONNX real-valued bounds. Integer tensors clamp the
+    QUANTIZED bounds (``trunc(v/scale ± 0.5)``, the RELU6 rule —
+    ``ops.reference.relu6``); raw real bounds on int8 codes would clip
+    the real value at ``bound * scale`` instead of ``bound``."""
+    out = x
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        sc = np.float32(in_scale or 1.0)
+
+        def q(v):
+            t = np.float32(v) / sc
+            t = np.trunc(t + (0.5 if t >= 0 else -0.5))
+            return int(np.clip(t, -128, 127))
+
+        lo = q(lo) if lo is not None else None
+        hi = q(hi) if hi is not None else None
+    if lo is not None:
+        out = jnp.maximum(out, jnp.asarray(lo, out.dtype))
+    if hi is not None:
+        out = jnp.minimum(out, jnp.asarray(hi, out.dtype))
+    return out
 
 
 class _FoldPlan:
@@ -760,8 +783,16 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                 x_nm = convA.inputs[0]
                 arr = env[x_nm]
                 cin_x = tensors[x_nm].shape[3]
-                if x_nm in plan.runtime_fold:
+                if x_nm in plan.runtime_fold \
+                        and rtf(x_nm) == f_out:
                     parts_x = tuple(plan.parts.get(x_nm, (cin_x,)))
+                elif arr.shape[3] == cin_x and f_out > 1:
+                    # layout went stale between the pair (a logical
+                    # consumer unfolded x after the 1x1 was deferred):
+                    # re-fold rather than feed the kernel a logical
+                    # array with folded metadata
+                    arr = FK.fold_layout(arr, f_out)
+                    parts_x = (cin_x,)
                 else:
                     parts_x = (cin_x,)
                 phys = sum(-p if p < 0 else f_out * p for p in parts_x)
@@ -809,7 +840,12 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                     x = env[src]
                     if f_out > 1:
                         x = FK.fold_layout(x, f_out)
+                        # keep env in sync with the recorded layout: a
+                        # second consumer (or the graph-output unfold)
+                        # reads env[src] through runtime_fold
+                        env[src] = x
                         plan.runtime_fold[src] = f_out
+                        plan.parts[src] = (cin,)
                     out = FK.conv2d_int8_folded(
                         x, w, bias, out_hw, s, pads,
                         scale(src), ws, out_s,
@@ -935,6 +971,10 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                                       scale(out_name))
         elif op == "RELU6":
             env[out_name] = R.relu6(x, scale(node.inputs[0]), False)
+        elif op == "CLIP":
+            # positionally independent -> valid on the folded layout
+            env[out_name] = _clip_q(x, a.get("min"), a.get("max"),
+                                    scale(node.inputs[0]))
         else:
             return False
         plan.runtime_fold[out_name] = f_planned
@@ -1275,12 +1315,7 @@ def _lower_node(
         x = env[node.inputs[0]]
         lo = a.get("min")
         hi = a.get("max")
-        out = x
-        if lo is not None:
-            out = jnp.maximum(out, jnp.asarray(lo, out.dtype))
-        if hi is not None:
-            out = jnp.minimum(out, jnp.asarray(hi, out.dtype))
-        env[out_name] = out
+        env[out_name] = _clip_q(x, lo, hi, scale(node.inputs[0]))
 
     elif op == "BATCHNORM":
         x = env[node.inputs[0]]
