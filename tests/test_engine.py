@@ -201,3 +201,41 @@ def test_yolov5nu_anchor_free_runs():
     dets = yolo.nms_batched(boxes, conf, classes, max_dets=20)
     assert dets.boxes.shape == (1, 20, 4)
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_dequantize_shared_bias_cloned():
+    """An int32 bias const shared by two convs with DIFFERENT input
+    scales must be dequantized per conv (in*w units) — last-wins would
+    scale the first conv's bias with the second conv's input scale."""
+    import numpy as np
+    from thingino_accel_tpu.ir.graph import (Graph, Node, TensorInfo,
+                                             QuantInfo)
+    from thingino_accel_tpu.ir import passes
+
+    i8 = np.dtype(np.int8)
+    ts = {
+        "x": TensorInfo("x", (1, 4, 4, 2), i8, quant=QuantInfo(scale=0.1)),
+        "m": TensorInfo("m", (1, 4, 4, 2), i8, quant=QuantInfo(scale=0.4)),
+        "w1": TensorInfo("w1", (2, 2, 1, 1), i8, quant=QuantInfo(scale=0.02),
+                         data=np.ones((2, 2, 1, 1), np.int8)),
+        "w2": TensorInfo("w2", (2, 2, 1, 1), i8, quant=QuantInfo(scale=0.02),
+                         data=np.ones((2, 2, 1, 1), np.int8)),
+        "bsh": TensorInfo("bsh", (2,), np.dtype(np.int32),
+                          data=np.array([100, 200], np.int32)),
+        "y": TensorInfo("y", (1, 4, 4, 2), i8, quant=QuantInfo(scale=0.5)),
+    }
+    cattrs = dict(kernel=(1, 1), stride=(1, 1), padding="EXPLICIT",
+                  explicit_pad=(0, 0, 0, 0), groups=1, activation="NONE")
+    g = Graph(
+        nodes=[Node("CONV2D", ["x", "w1", "bsh"], ["m"], dict(cattrs), "c1"),
+               Node("CONV2D", ["m", "w2", "bsh"], ["y"], dict(cattrs), "c2")],
+        tensors=ts, inputs=["x"], outputs=["y"], name="sharedbias")
+    gd = passes.dequantize_graph(g)
+    gd.validate()
+    convs = [n for n in gd.nodes if n.op == "CONV2D"]
+    b1 = gd.tensors[convs[0].inputs[2]].data
+    b2 = gd.tensors[convs[1].inputs[2]].data
+    np.testing.assert_allclose(
+        b1, np.array([100, 200], np.float32) * 0.1 * 0.02, rtol=1e-6)
+    np.testing.assert_allclose(
+        b2, np.array([100, 200], np.float32) * 0.4 * 0.02, rtol=1e-6)

@@ -119,19 +119,33 @@ def fold_batchnorm(graph: Graph) -> Graph:
     """Fold BATCHNORM(conv_out) into the preceding f32 CONV2D's weights.
 
     y = (conv(x, W) + b) * s + t  ==  conv(x, W*s) + (b*s + t)
-    Only applied when the conv output feeds just the BN and both are f32.
+    Only applied when the conv output feeds just the BN, is not itself a
+    graph output, and both ops are f32. Non-destructive: folded weights
+    and biases go into FRESH tensors and the conv is REPLACED, never
+    mutated — Graph copies share Node/TensorInfo objects (see
+    fuse_act_into_conv's docstring), so an in-place fold would
+    double-apply the BN scale if the same source graph builds two
+    engines.
     """
     consumers = graph.consumers()
+    producer = graph.producer_map()
+    out_set = set(graph.outputs)
     nodes = list(graph.nodes)
+    idx_of = {id(n): i for i, n in enumerate(nodes)}
     remove: Set[int] = set()
-    rename: Dict[str, str] = {}
+    replace: Dict[int, Node] = {}
 
     for i, node in enumerate(nodes):
         if node.op != "BATCHNORM" or len(node.inputs) < 3:
             continue
         src = node.inputs[0]
-        prod = graph.producer_map().get(src)
+        if src in out_set:
+            continue   # conv output must stay produced
+        prod = producer.get(src)
         if prod is None or prod.op != "CONV2D":
+            continue
+        pi = idx_of.get(id(prod))
+        if pi is None or pi in replace:
             continue
         if len(consumers.get(src, [])) != 1:
             continue
@@ -144,23 +158,29 @@ def fold_batchnorm(graph: Graph) -> Graph:
             continue
         s = sc_t.data.reshape(-1).astype(np.float32)
         t = bi_t.data.reshape(-1).astype(np.float32)
-        wt.data = wt.data * s[:, None, None, None]
+        w_name = f"{prod.inputs[1]}__bnf{i}"
+        graph.tensors[w_name] = TensorInfo(
+            name=w_name, shape=wt.shape, dtype=wt.dtype,
+            data=wt.data * s[:, None, None, None])
         if len(prod.inputs) > 2:
-            bt = graph.tensors[prod.inputs[2]]
-            bt.data = bt.data.astype(np.float32) * s + t
+            b_new = graph.tensors[prod.inputs[2]].data \
+                .astype(np.float32) * s + t
         else:
-            bias_name = f"{prod.name}_folded_bias"
-            from thingino_accel_tpu.ir.graph import TensorInfo
-            graph.tensors[bias_name] = TensorInfo(
-                name=bias_name, shape=t.shape, dtype=np.dtype(np.float32),
-                data=t.copy())
-            prod.inputs.append(bias_name)
-        # conv now writes what BN wrote
-        prod.outputs = list(node.outputs)
+            b_new = t.copy()
+        b_name = f"{prod.name}__bnf{i}_b"
+        graph.tensors[b_name] = TensorInfo(
+            name=b_name, shape=b_new.shape, dtype=np.dtype(np.float32),
+            data=b_new)
+        # the replacement conv writes what BN wrote
+        replace[pi] = Node(
+            op="CONV2D", inputs=[prod.inputs[0], w_name, b_name],
+            outputs=list(node.outputs), attrs=dict(prod.attrs),
+            name=prod.name)
         remove.add(i)
 
     if remove:
-        graph.nodes = [n for i, n in enumerate(nodes) if i not in remove]
+        graph.nodes = [replace.get(j, n) for j, n in enumerate(nodes)
+                       if j not in remove]
     return graph
 
 
@@ -187,12 +207,25 @@ def dequantize_graph(graph: Graph, quantize_outputs: bool = True) -> Graph:
 
     conv_ws: Dict[str, str] = {}   # weight name -> owning conv input name
     conv_bias: Dict[str, tuple] = {}
+    bias_rename: Dict[int, str] = {}   # id(node) -> cloned bias name
     for node in graph.nodes:
         if node.op in ("CONV2D", "DEPTHWISE_CONV2D", "FC") \
                 and len(node.inputs) >= 2:
             conv_ws[node.inputs[1]] = node.inputs[0]
             if len(node.inputs) >= 3:
-                conv_bias[node.inputs[2]] = (node.inputs[0], node.inputs[1])
+                b = node.inputs[2]
+                key = (node.inputs[0], node.inputs[1])
+                if b not in conv_bias:
+                    conv_bias[b] = key
+                elif conv_bias[b] != key:
+                    # int32 bias shared by convs with different input
+                    # scales: the dequant is per-conv (in*w units), so
+                    # a shared const must be CLONED per context —
+                    # last-wins would scale it with the wrong conv's
+                    # input scale
+                    nb = f"{b}__dqclone{len(bias_rename)}"
+                    bias_rename[id(node)] = nb
+                    conv_bias[nb] = key
 
     for name, t in graph.tensors.items():
         nt = TensorInfo(name=t.name, shape=t.shape, dtype=t.dtype,
@@ -223,6 +256,20 @@ def dequantize_graph(graph: Graph, quantize_outputs: bool = True) -> Graph:
             nt.dtype = np.dtype(np.float32)
         tensors[name] = nt
 
+    # cloned shared biases (per-conv dequant contexts)
+    for nm, (x_name, w_name) in conv_bias.items():
+        if nm in tensors or "__dqclone" not in nm:
+            continue
+        t = graph.tensors[nm.split("__dqclone")[0]]
+        xs = graph.tensors[x_name].quant.scale
+        wt = graph.tensors[w_name]
+        ws = (np.asarray(wt.channel_scales, np.float32)
+              if wt.channel_scales is not None
+              else np.float32(wt.quant.scale))
+        data = t.data.astype(np.float32) * (np.float32(xs) * ws)
+        tensors[nm] = TensorInfo(name=nm, shape=t.shape,
+                                 dtype=data.dtype, data=data)
+
     # input dequant nodes
     input_map: Dict[str, str] = {}
     for name in graph.inputs:
@@ -237,8 +284,10 @@ def dequantize_graph(graph: Graph, quantize_outputs: bool = True) -> Graph:
             input_map[name] = deq
 
     for node in graph.nodes:
-        n = Node(op=node.op,
-                 inputs=[input_map.get(i, i) for i in node.inputs],
+        ins = [input_map.get(i, i) for i in node.inputs]
+        if id(node) in bias_rename:
+            ins[2] = bias_rename[id(node)]
+        n = Node(op=node.op, inputs=ins,
                  outputs=list(node.outputs), attrs=dict(node.attrs),
                  name=node.name)
         nodes.append(n)

@@ -224,6 +224,24 @@ def decode_heads(
     return jnp.concatenate(outs, axis=1)
 
 
+def _best_class(cls_logits: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Best class logit + index in ONE reduction for int8 heads: pack
+    (logit, 255-idx) into int16 so the max carries the first-occurrence
+    argmax in its low byte — halves the pass over the class dim. The
+    packing assumes the logit fits a signed byte, so it is gated to
+    int8 specifically (uint8/int16 heads would overflow the int16
+    product silently); everything else takes two reductions."""
+    if cls_logits.dtype == jnp.int8 and cls_logits.shape[-1] <= 256:
+        iota = jax.lax.broadcasted_iota(
+            jnp.int16, cls_logits.shape, cls_logits.ndim - 1)
+        comb = cls_logits.astype(jnp.int16) * 256 + (255 - iota)
+        cmax = jnp.max(comb, axis=-1)
+        return ((cmax >> 8).astype(jnp.float32),
+                (255 - (cmax & 255)).astype(jnp.int32))
+    return (jnp.max(cls_logits, axis=-1).astype(jnp.float32),
+            jnp.argmax(cls_logits, axis=-1).astype(jnp.int32))
+
+
 def decode_and_parse(
     feats: Sequence[jax.Array],
     anchors: np.ndarray = YOLOV5_ANCHORS,
@@ -265,19 +283,7 @@ def decode_and_parse(
             jnp.asarray(anchors[i], jnp.float32)[None, None, :, :]
         obj = sig5[..., 4]
         cls_logits = x[..., 5:]
-        if jnp.issubdtype(cls_logits.dtype, jnp.integer):
-            # fused max+argmax in ONE reduction: pack (logit, 255-idx)
-            # into int16 so the max carries the first-occurrence argmax
-            # in its low byte — halves the pass over the class dim
-            iota = jax.lax.broadcasted_iota(
-                jnp.int16, cls_logits.shape, cls_logits.ndim - 1)
-            comb = cls_logits.astype(jnp.int16) * 256 + (255 - iota)
-            cmax = jnp.max(comb, axis=-1)
-            best_logit = (cmax >> 8).astype(jnp.float32)
-            cls = (255 - (cmax & 255)).astype(jnp.int32)
-        else:
-            best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
-            cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        best_logit, cls = _best_class(cls_logits)
         if sc is not None:
             best_logit = best_logit * sc
         conf = obj * jax.nn.sigmoid(best_logit)
@@ -321,17 +327,7 @@ def decode_and_parse_split(
                 jnp.asarray(anchors[i][anc], jnp.float32)
             obj = sig5[..., 4]
             cls_logits = feat[..., 5:5 + num_classes]
-            if jnp.issubdtype(cls_logits.dtype, jnp.integer):
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int16, cls_logits.shape, cls_logits.ndim - 1)
-                comb = cls_logits.astype(jnp.int16) * 256 + (255 - iota)
-                cmax = jnp.max(comb, axis=-1)
-                best_logit = (cmax >> 8).astype(jnp.float32)
-                acls = (255 - (cmax & 255)).astype(jnp.int32)
-            else:
-                best_logit = jnp.max(cls_logits, axis=-1).astype(
-                    jnp.float32)
-                acls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+            best_logit, acls = _best_class(cls_logits)
             if sc is not None:
                 best_logit = best_logit * sc
             conf = obj * jax.nn.sigmoid(best_logit)

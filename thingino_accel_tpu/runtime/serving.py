@@ -28,7 +28,10 @@ class ServingStats:
     batches: int = 0
     errors: int = 0
     wall_s: float = 0.0
-    batch_latencies_s: List[float] = dataclasses.field(default_factory=list)
+    # bounded ring (newest 4096 batches): a long-running server must
+    # not grow stats memory or percentile cost without bound
+    batch_latencies_s: "collections.deque" = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=4096))
 
     @property
     def fps(self) -> float:
@@ -37,13 +40,17 @@ class ServingStats:
     def latency_ms(self, pct: float = 50.0) -> float:
         if not self.batch_latencies_s:
             return 0.0
-        return float(np.percentile(self.batch_latencies_s, pct) * 1e3)
+        return float(np.percentile(
+            np.asarray(self.batch_latencies_s), pct) * 1e3)
 
     def summary(self) -> str:
         return (f"{self.frames} frames in {self.wall_s:.3f}s = "
                 f"{self.fps:.1f} fps; batch latency p50 "
                 f"{self.latency_ms(50):.2f} ms / p99 "
                 f"{self.latency_ms(99):.2f} ms")
+
+
+_FAILED = object()   # dispatch-failed batch sentinel (slot preserved)
 
 
 class StreamServer:
@@ -82,9 +89,10 @@ class StreamServer:
                     else jax.device_put(batch)
                 out = self.fn(x)
             except Exception:
-                self.stats.errors += 1
-                self.stats.batches += 1
-                continue
+                # dispatch-side failure: keep the slot so outputs stay
+                # 1:1 with submitted batches (consumers route results
+                # positionally) — surfaced as None like drain failures
+                out = _FAILED
             inflight.append((out, t0, len(batch)))
             if len(inflight) >= self.depth:
                 yield self._drain_one(inflight)
@@ -98,6 +106,10 @@ class StreamServer:
         fault containment the reference implements as SIGBUS handlers and
         hardened shims (SURVEY §5 failure detection)."""
         out, t0, n = inflight.popleft()
+        if out is _FAILED:
+            self.stats.errors += 1
+            self.stats.batches += 1
+            return None
         try:
             out = jax.block_until_ready(out)
         except Exception:
@@ -117,29 +129,34 @@ class StreamServer:
 class MultiStreamBatcher:
     """Interleave frames from S independent streams into fixed batches.
 
-    Each batch row i carries stream ``(batch_index*B + i) % S``'s next
-    frame; results are routed back per stream. This is the multi-camera
-    serving layout (one engine, S feeds) that the reference's
-    one-process-per-model design cannot express (SURVEY §2.7).
+    Row sources are recorded per batch in ``self.sources`` (a FIFO of
+    per-batch lists of ORIGINAL stream indices, -1 for padding rows):
+    StreamServer yields results in submission order, so the consumer
+    pops ``sources.popleft()`` per drained result to route rows back to
+    their cameras — stable across stream exhaustion and pipeline depth.
+    This is the multi-camera serving layout (one engine, S feeds) that
+    the reference's one-process-per-model design cannot express
+    (SURVEY §2.7).
     """
 
     def __init__(self, num_streams: int, batch: int):
         self.num_streams = num_streams
         self.batch = batch
+        self.sources: collections.deque = collections.deque()
 
     def batches(self, streams: List[Iterator[np.ndarray]]
                 ) -> Iterator[np.ndarray]:
         s = 0
-        n = self.num_streams
-        live = list(streams)
+        live = list(enumerate(streams))   # (original index, iterator)
         while live:
             rows = []
             srcs = []
             while len(rows) < self.batch and live:
                 idx = s % len(live)
+                orig, it = live[idx]
                 try:
-                    rows.append(next(live[idx]))
-                    srcs.append(idx)
+                    rows.append(next(it))
+                    srcs.append(orig)
                     s += 1
                 except StopIteration:
                     live.pop(idx)
@@ -147,7 +164,8 @@ class MultiStreamBatcher:
                 return
             while len(rows) < self.batch:   # pad tail batch (static shape)
                 rows.append(np.zeros_like(rows[0]))
-            self._last_sources = srcs
+                srcs.append(-1)
+            self.sources.append(srcs)
             yield np.stack(rows)
 
 
