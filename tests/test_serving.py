@@ -106,3 +106,28 @@ def test_stream_server_isolates_materialization_failure():
     assert server.stats.errors == 1
     assert server.stats.frames == 6          # 3 good batches x 2
     np.testing.assert_array_equal(np.asarray(good[-1]), batches[3] * 2)
+
+
+def test_multistream_batcher_stable_sources():
+    """Row sources are ORIGINAL stream ids, stable across stream
+    exhaustion, recorded per batch in a FIFO; padding rows are -1."""
+    from thingino_accel_tpu.runtime.serving import MultiStreamBatcher
+
+    def stream(tag, n):
+        for i in range(n):
+            yield np.full((2, 2), tag * 10 + i, np.int32)
+
+    mb = MultiStreamBatcher(num_streams=3, batch=3)
+    batches = list(mb.batches([stream(0, 1), stream(1, 3), stream(2, 3)]))
+    srcs = list(mb.sources)
+    assert len(batches) == len(srcs)
+    flat_src = [s for b in srcs for s in b]
+    flat_val = [int(r[0, 0]) for b in batches for r in b]
+    for sid, val in zip(flat_src, flat_val):
+        if sid >= 0:
+            assert val // 10 == sid, (sid, val)   # routed to right camera
+        else:
+            assert val == 0                       # padding rows
+    # every real frame delivered exactly once
+    real = sorted(v for s, v in zip(flat_src, flat_val) if s >= 0)
+    assert real == [0, 10, 11, 12, 20, 21, 22]
