@@ -272,3 +272,123 @@ def test_clip_int8_quantized_bounds():
     x2 = np.arange(48, 64, dtype=np.int8).reshape(1, 2, 2, 4)
     out2 = Engine(g).run_np(x2)["y"]
     assert out2.max() == 20
+
+
+def test_reshape_zero_copies_positional_dim():
+    """Reshape 0-dims copy the input dim at the SAME position (ONNX
+    allowzero=0), not in_shape[0]."""
+    m = W.build_model(
+        nodes=[("Reshape", ["x", "shape"], ["y"], None)],
+        inputs={"x": ((2, 6, 4), OP.TP_FLOAT)},
+        outputs={"y": ((2, 6, 4), OP.TP_FLOAT)},
+        initializers={"shape": np.array([0, 0, -1], np.int64)},
+    )
+    g = import_onnx(m, float32=True)
+    assert g.tensors[g.outputs[0]].shape == (2, 6, 4)
+    x = np.arange(48, dtype=np.float32).reshape(2, 6, 4)
+    out = list(run_engine(g, {"x": x}).values())[0]
+    np.testing.assert_array_equal(out, x)
+
+
+def test_slice_reverse_step():
+    """Negative-step Slice (the exported tensor flip): starts=-1,
+    ends=INT_MIN-ish, steps=-1 must reverse the full axis."""
+    m = W.build_model(
+        nodes=[("Slice", ["x", "st", "en", "ax", "sp"], ["y"], None)],
+        inputs={"x": ((2, 8), OP.TP_FLOAT)},
+        outputs={"y": ((2, 8), OP.TP_FLOAT)},
+        initializers={"st": np.array([-1], np.int64),
+                      "en": np.array([-(2 ** 31)], np.int64),
+                      "ax": np.array([1], np.int64),
+                      "sp": np.array([-1], np.int64)},
+    )
+    g = import_onnx(m, float32=True)
+    assert g.tensors[g.outputs[0]].shape == (2, 8)
+    x = np.arange(16, dtype=np.float32).reshape(2, 8)
+    out = list(run_engine(g, {"x": x}).values())[0]
+    np.testing.assert_array_equal(out, x[:, ::-1])
+
+
+def test_unsqueeze_multiple_negative_axes():
+    """Unsqueeze axes are relative to the OUTPUT rank: (d0, d1) with
+    axes [-1, -2] -> (d0, d1, 1, 1)."""
+    m = W.build_model(
+        nodes=[("Unsqueeze", ["x", "ax"], ["y"], None)],
+        inputs={"x": ((2, 3), OP.TP_FLOAT)},
+        outputs={"y": ((2, 3, 1, 1), OP.TP_FLOAT)},
+        initializers={"ax": np.array([-1, -2], np.int64)},
+    )
+    g = import_onnx(m, float32=True)
+    # ONNX (2, 3, 1, 1); 4-D activations are stored NHWC -> (2, 1, 1, 3)
+    assert g.tensors[g.outputs[0]].shape == (2, 1, 1, 3)
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    out = list(run_engine(g, {"x": x}).values())[0]
+    ref = x.reshape(2, 3, 1, 1)            # ONNX result, NCHW order
+    np.testing.assert_array_equal(out, ref.transpose(0, 2, 3, 1))
+
+
+def test_matmul_3d_batch_dims(rng):
+    """MatMul([N, T, C] @ [C, O]) keeps the leading dims: the FC
+    executor flattens rows, so the importer brackets with reshapes."""
+    w = rng.normal(size=(8, 4)).astype(np.float32)
+    m = W.build_model(
+        nodes=[("MatMul", ["x", "w"], ["y"], None)],
+        inputs={"x": ((2, 5, 8), OP.TP_FLOAT)},
+        outputs={"y": ((2, 5, 4), OP.TP_FLOAT)},
+        initializers={"w": w},
+    )
+    g = import_onnx(m, float32=True)
+    assert g.tensors[g.outputs[0]].shape == (2, 5, 4)
+    x = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    out = list(run_engine(g, {"x": x}).values())[0]
+    np.testing.assert_allclose(out, x @ w, rtol=1e-5, atol=1e-6)
+
+
+def test_gemm_alpha_beta_folded(rng):
+    """Gemm alpha/beta fold into the consts instead of being ignored."""
+    w = rng.normal(size=(4, 8)).astype(np.float32)   # transB layout
+    b = rng.normal(size=(4,)).astype(np.float32)
+    m = W.build_model(
+        nodes=[("Gemm", ["x", "w", "b"], ["y"],
+                dict(alpha=2.0, beta=0.5, transB=1))],
+        inputs={"x": ((2, 8), OP.TP_FLOAT)},
+        outputs={"y": ((2, 4), OP.TP_FLOAT)},
+        initializers={"w": w, "b": b},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(2, 8)).astype(np.float32)
+    out = list(run_engine(g, {"x": x}).values())[0]
+    np.testing.assert_allclose(out, 2.0 * (x @ w.T) + 0.5 * b,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_resize_downsample_rejected():
+    """Downsampling Resize must raise, not emit a zero-sized tensor."""
+    m = W.build_model(
+        nodes=[("Resize", ["x", "", "", "sz"], ["y"],
+                dict(mode=b"nearest"))],
+        inputs={"x": ((1, 3, 8, 8), OP.TP_FLOAT)},
+        outputs={"y": ((1, 3, 4, 4), OP.TP_FLOAT)},
+        initializers={"sz": np.array([1, 3, 4, 4], np.int64)},
+    )
+    with pytest.raises(ValueError, match="integer upscale"):
+        import_onnx(m, float32=True)
+
+
+def test_dq_const_zero_point(rng):
+    """DequantizeLinear of a const with zero_point != 0 computes
+    (c - zp) * scale in float32 mode (asymmetric uint8 weights)."""
+    c = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    m = W.build_model(
+        nodes=[("DequantizeLinear", ["c", "sc", "zp"], ["w"], None),
+               ("MatMul", ["x", "w"], ["y"], None)],
+        inputs={"x": ((2, 4), OP.TP_FLOAT)},
+        outputs={"y": ((2, 3), OP.TP_FLOAT)},
+        initializers={"c": c, "sc": np.float32(0.1),
+                      "zp": np.uint8(128)},
+    )
+    g = import_onnx(m, float32=True)
+    x = rng.normal(size=(2, 4)).astype(np.float32)
+    out = list(run_engine(g, {"x": x}).values())[0]
+    ref = x @ ((c.astype(np.float32) - 128.0) * 0.1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

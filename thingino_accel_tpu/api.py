@@ -292,7 +292,9 @@ def nna_model_unload(model: Optional[Model]) -> None:
     pass
 
 
-def nna_model_run(model: Model) -> int:
+def nna_model_run(model: Optional[Model]) -> int:
+    if model is None:
+        return -1
     return 0 if model.run() == MARS_OK else -1
 
 
@@ -315,13 +317,19 @@ def nna_model_get_output(model: Model, index: int = 0) -> Optional[Tensor]:
 
 
 def nna_model_get_input_by_name(model: Model, name: str) -> Optional[Tensor]:
-    t = model._by_name.get(name)
-    return t if t in model.inputs else None
+    # search the list, not _by_name: a same-named output would shadow
+    # the input in the shared dict
+    for t in model.inputs:
+        if t.name == name:
+            return t
+    return None
 
 
 def nna_model_get_output_by_name(model: Model, name: str) -> Optional[Tensor]:
-    t = model._by_name.get(name)
-    return t if t in model.outputs else None
+    for t in model.outputs:
+        if t.name == name:
+            return t
+    return None
 
 
 # ---------------------------------------------------------------------------

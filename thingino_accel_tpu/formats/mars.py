@@ -547,8 +547,14 @@ def write_mars(model: MarsModel, path: Optional[str] = None) -> bytes:
     weights_offset = HEADER_SIZE + n_tensors * TENSOR_SIZE + n_layers * LAYER_SIZE
     weights_offset = (weights_offset + 63) & ~63
 
-    ins = list(model.input_ids)[:4] + [0] * (4 - min(len(model.input_ids), 4))
-    outs = list(model.output_ids)[:4] + [0] * (4 - min(len(model.output_ids), 4))
+    if len(model.input_ids) > 4 or len(model.output_ids) > 4:
+        # the header has exactly 4 id slots each way; silently
+        # truncating would round-trip to a different model
+        raise ValueError(
+            f".mars supports at most 4 inputs/outputs "
+            f"(got {len(model.input_ids)}/{len(model.output_ids)})")
+    ins = list(model.input_ids) + [0] * (4 - len(model.input_ids))
+    outs = list(model.output_ids) + [0] * (4 - len(model.output_ids))
     header = struct.pack(
         "<IHHIIIII", MARS_MAGIC, model.version[0], model.version[1],
         model.flags, n_layers, n_tensors,

@@ -297,6 +297,11 @@ def mine_rodata(elf: ElfFile) -> MgkMetadata:
                 meta.scale_groups.append(
                     (run_start * 4, [float(v) for v in f32[run_start:i]]))
             run_start = None
+    if run_start is not None and len(f32) - run_start >= 4:
+        # flush a run extending to the end of .rodata (scale tables
+        # are commonly the last rodata content)
+        meta.scale_groups.append(
+            (run_start * 4, [float(v) for v in f32[run_start:]]))
     return meta
 
 
@@ -355,27 +360,9 @@ def dense_regions(blob: bytes, block: int = 1024) -> List[Tuple[int, int]]:
 
 
 # ---------------------------------------------------------------------------
-# NMHWSOIB2 weight unpacking (int8 and 2-bit variants)
+# NMHWSOIB2 weight unpacking (int8 codec: formats.packing.unpack_nmhwsoib2,
+# imported above — ONE implementation; 2-bit variants below)
 # ---------------------------------------------------------------------------
-
-
-def unpack_nmhwsoib2(data: bytes, out_ch: int, in_ch: int,
-                     kh: int = 1, kw: int = 1) -> np.ndarray:
-    """int8 NMHWSOIB2 [N_OFP, M_IFP, KH, KW, 32, 32] -> OIHW.
-
-    The NNA packs weights as 32x32 = 1024-byte channel tiles
-    (``include/mars.h:47-56``; depacker semantics:
-    ``mgk-decompiler/src/weight_extractor.rs:421-480``)."""
-    n_ofp = -(-out_ch // 32)
-    m_ifp = -(-in_ch // 32)
-    need = n_ofp * m_ifp * kh * kw * 1024
-    if len(data) < need:
-        raise ValueError(f"NMHWSOIB2: need {need} bytes, have {len(data)}")
-    a = np.frombuffer(data[:need], np.int8).reshape(
-        n_ofp, m_ifp, kh, kw, 32, 32)
-    oihw = a.transpose(0, 4, 1, 5, 2, 3).reshape(
-        n_ofp * 32, m_ifp * 32, kh, kw)
-    return oihw[:out_ch, :in_ch].copy()
 
 
 def unpack_2bit_signed(data: bytes) -> np.ndarray:

@@ -225,7 +225,8 @@ def _h_conv(ctx: _Ctx, n: OP.NodeProto) -> None:
                           dil[0], dil[1], pt, pb, pl, pr)
 
     is_int8 = w.dtype == np.int8 and not ctx.float32
-    wq = ctx._wscale.pop(n.inputs[1], 1.0) if hasattr(ctx, "_wscale") else 1.0
+    # get, not pop: a DQ'd weight initializer can feed several convs
+    wq = ctx._wscale.get(n.inputs[1], 1.0) if hasattr(ctx, "_wscale") else 1.0
     wname = ctx.add_const(f"{n.outputs[0]}__w", w, scale=wq)
     ins = [x, wname]
     if b is not None:
@@ -320,7 +321,8 @@ def _h_squeeze(ctx: _Ctx, n: OP.NodeProto) -> None:
     if rank == 4 and x not in ctx.onnx4d:   # axes are ONNX(NCHW)-indexed
         shape = [shape[0], shape[3], shape[1], shape[2]]
     if n.op_type == "Unsqueeze":
-        for a in sorted(a if a >= 0 else a + rank + 1 for a in axes):
+        out_rank = rank + len(axes)
+        for a in sorted(a if a >= 0 else a + out_rank for a in axes):
             shape.insert(a, 1)
     else:
         axes = [a if a >= 0 else a + rank for a in axes] or \
@@ -457,11 +459,21 @@ def _h_resize(ctx: _Ctx, n: OP.NodeProto) -> None:
     if len(n.inputs) > 2 and n.inputs[2]:
         sc = ctx.const_of(n.inputs[2])
         if sc is not None and sc.size == 4:
-            sh, sw = int(round(float(sc[2]))), int(round(float(sc[3])))
+            fh, fw = float(sc[2]), float(sc[3])
+            if fh < 1.0 or fw < 1.0 or fh != int(fh) or fw != int(fw):
+                raise ValueError(
+                    f"Resize {n.name}: only integer upscale supported "
+                    f"(scales {fh}x{fw})")
+            sh, sw = int(fh), int(fw)
     if len(n.inputs) > 3 and n.inputs[3]:
         sz = ctx.const_of(n.inputs[3])
         if sz is not None and sz.size == 4:
-            sh, sw = int(sz[2]) // h, int(sz[3]) // w
+            th, tw = int(sz[2]), int(sz[3])
+            if th < h or tw < w or th % h or tw % w:
+                raise ValueError(
+                    f"Resize {n.name}: only integer upscale supported "
+                    f"(sizes {th}x{tw} from {h}x{w})")
+            sh, sw = th // h, tw // w
     out = ctx.add_act(n.outputs[0], (nb, h * sh, w * sw, c),
                       ctx.dtype_of(x), ctx.scales.get(x, 1.0))
     ctx.emit("UPSAMPLE", [x], [out],
@@ -519,11 +531,17 @@ def _h_reshape(ctx: _Ctx, n: OP.NodeProto) -> None:
             [cx.size if v == -1 else v for v in tgt] if -1 in tgt else tgt)
         ctx.add_const(n.outputs[0], ctx.consts[n.outputs[0]])
         return
-    in_shape = ctx.shape_of(x)
+    in_shape = list(ctx.shape_of(x))
+    # 0 copies the input dim at the SAME position, in ONNX (NCHW)
+    # terms — 4-D activations are stored NHWC here
+    shape_onnx = ([in_shape[0], in_shape[3], in_shape[1], in_shape[2]]
+                  if len(in_shape) == 4 and x not in ctx.onnx4d
+                  else in_shape)
+    tgt = [shape_onnx[i] if v == 0 and i < len(shape_onnx) else v
+           for i, v in enumerate(tgt)]
     numel = int(np.prod(in_shape))
     known = int(np.prod([v for v in tgt if v > 0])) or 1
-    tgt = [numel // known if v == -1 else
-           (in_shape[0] if v == 0 else v) for v in tgt]
+    tgt = [numel // known if v == -1 else v for v in tgt]
     _emit_reshape_onnx(ctx, n, x, tgt)
 
 
@@ -595,14 +613,49 @@ def _h_gemm(ctx: _Ctx, n: OP.NodeProto) -> None:
         ctx.log(f"{n.op_type} {n.name}: non-const weights unsupported")
         return
     b = ctx.const_of(n.inputs[2]) if len(n.inputs) > 2 else None
-    if n.op_type == "Gemm" and n.attr_i("transB", 0):
-        w = w.T
+    if n.op_type == "Gemm":
+        if n.attr_i("transA", 0):
+            raise ValueError(f"Gemm {n.name}: transA unsupported")
+        alpha = n.attr_f("alpha", 1.0)
+        beta = n.attr_f("beta", 1.0)
+        if n.attr_i("transB", 0):
+            w = w.T
+        # fold alpha/beta into the consts instead of silently
+        # computing the unscaled product
+        if alpha != 1.0:
+            w = w * np.asarray(alpha, w.dtype)
+        if b is not None and beta != 1.0:
+            b = b * np.asarray(beta, b.dtype)
     in_shape = ctx.shape_of(x)
     k, o = w.shape
     wn = ctx.add_const(f"{n.outputs[0]}__w", np.ascontiguousarray(w))
-    ins = [x, wn]
     if b is not None:
-        ins.append(ctx.add_const(f"{n.outputs[0]}__b", b))
+        bn_ = ctx.add_const(f"{n.outputs[0]}__b", b)
+    if len(in_shape) > 2:
+        # MatMul over leading batch dims ([..., K] @ [K, O]): the FC
+        # executor flattens to (rows0, -1), so reshape to 2-D rows
+        # first and restore the leading dims after
+        if in_shape[-1] != k:
+            raise ValueError(
+                f"{n.op_type} {n.name}: contraction dim "
+                f"{in_shape[-1]} != weight K {k}")
+        rows = int(np.prod(in_shape[:-1]))
+        flat = ctx.add_act(f"{n.outputs[0]}__2d", (rows, k),
+                           ctx.dtype_of(x), ctx.scales.get(x, 1.0))
+        ctx.emit("RESHAPE", [x], [flat],
+                 attrs=dict(new_shape=(rows, k)), name=f"{n.name}__2d")
+        fc_out = ctx.add_act(f"{n.outputs[0]}__fc", (rows, o),
+                             ctx.dtype_of(x), ctx.scales.get(x, 1.0))
+        ins = [flat, wn] + ([bn_] if b is not None else [])
+        ctx.emit("FC", ins, [fc_out], attrs=dict(activation="NONE"),
+                 name=n.name)
+        out_shape = tuple(in_shape[:-1]) + (o,)
+        out = ctx.add_act(n.outputs[0], out_shape, ctx.dtype_of(x),
+                          ctx.scales.get(x, 1.0))
+        ctx.emit("RESHAPE", [fc_out], [out],
+                 attrs=dict(new_shape=out_shape), name=f"{n.name}__nd")
+        return
+    ins = [x, wn] + ([bn_] if b is not None else [])
     out = ctx.add_act(n.outputs[0], (in_shape[0], o), ctx.dtype_of(x),
                       ctx.scales.get(x, 1.0))
     ctx.emit("FC", ins, [out], attrs=dict(activation="NONE"), name=n.name)
@@ -677,10 +730,30 @@ def _h_slice(ctx: _Ctx, n: OP.NodeProto) -> None:
     norm = []
     for a, s, e, st in zip(axes, starts, ends, steps):
         dim = shape[a]
-        s = max(0, s + dim) if s < 0 else min(s, dim)
-        e = max(0, e + dim) if e < 0 else min(e, dim)
-        out_shape[a] = max(0, -(-(e - s) // st))
-        norm.append((a, s, e, st))
+        if st > 0:
+            s = max(0, s + dim) if s < 0 else min(s, dim)
+            e = max(0, e + dim) if e < 0 else min(e, dim)
+            out_shape[a] = max(0, -(-(e - s) // st))
+            norm.append((a, s, e, st))
+        else:
+            # reverse slice (step < 0): ONNX clamps start into
+            # [0, dim-1]; an end below -dim means "past the first
+            # element", expressible only as a None stop (the executor
+            # builds python slices from these attrs, and a negative
+            # int stop would re-wrap)
+            s = s + dim if s < 0 else min(s, dim - 1)
+            if s < 0:
+                out_shape[a] = 0
+                norm.append((a, 0, 0, 1))
+                continue
+            if e < -dim:
+                e = None
+                n_el = -(-(s + 1) // (-st))
+            else:
+                e = e + dim if e < 0 else min(e, dim)
+                n_el = max(0, -(-(s - e) // (-st)))
+            out_shape[a] = n_el
+            norm.append((a, s, e, st))
     out = ctx.add_act(n.outputs[0], tuple(out_shape), ctx.dtype_of(x),
                       ctx.scales.get(x, 1.0))
     ctx.emit("SLICE", [x], [out], attrs=dict(slices=tuple(norm)),
@@ -762,12 +835,27 @@ def _h_qdq(ctx: _Ctx, n: OP.NodeProto) -> None:
     scale_c = ctx.const_of(n.inputs[1]) if len(n.inputs) > 1 else None
     scale = float(np.asarray(scale_c).reshape(-1)[0]) if scale_c is not None \
         else 1.0
+    zp_c = ctx.const_of(n.inputs[2]) if len(n.inputs) > 2 and n.inputs[2] \
+        else None
+    zp = int(np.asarray(zp_c).reshape(-1)[0]) if zp_c is not None else 0
     c = ctx.const_of(src)
     if n.op_type == "DequantizeLinear":
         if c is not None:
             if ctx.float32:
-                ctx.consts[n.outputs[0]] = c.astype(np.float32) * scale
+                # asymmetric quant (uint8 zp=128 etc.): DQ is
+                # (c - zp) * scale, not c * scale
+                ctx.consts[n.outputs[0]] = \
+                    (c.astype(np.float32) - np.float32(zp)) * scale
             else:
+                if zp != 0:
+                    # the integer engine is symmetric int8: shift the
+                    # codes to zero-point 0 at import (uint8 zp=128 ->
+                    # int8). Saturating shift only loses codes a
+                    # symmetric engine cannot represent anyway.
+                    ctx.log(f"DQ {n.name}: folding zero_point {zp} "
+                            "into the stored int8 codes")
+                    c = np.clip(c.astype(np.int32) - zp,
+                                -128, 127).astype(np.int8)
                 ctx.consts[n.outputs[0]] = c
                 if not hasattr(ctx, "_wscale"):
                     ctx._wscale = {}
@@ -777,16 +865,20 @@ def _h_qdq(ctx: _Ctx, n: OP.NodeProto) -> None:
         ctx.alias[n.outputs[0]] = r
         if not ctx.float32:
             ctx.scales[r] = scale
+            ctx.zero_points[r] = zp
             if r in ctx.graph.tensors:
-                ctx.graph.tensors[r].quant = QuantInfo(scale=scale)
+                ctx.graph.tensors[r].quant = QuantInfo(scale=scale,
+                                                       zero_point=zp)
         return
     # QuantizeLinear
     r = ctx.resolve(src)
     ctx.alias[n.outputs[0]] = r
     if not ctx.float32:
         ctx.scales[r] = scale
+        ctx.zero_points[r] = zp
         if r in ctx.graph.tensors:
-            ctx.graph.tensors[r].quant = QuantInfo(scale=scale)
+            ctx.graph.tensors[r].quant = QuantInfo(scale=scale,
+                                                   zero_point=zp)
         if not hasattr(ctx, "_pending_out_scale"):
             ctx._pending_out_scale = {}
         ctx._pending_out_scale[r] = scale

@@ -57,10 +57,7 @@ def split_graph(graph: Graph, n_stages: int) -> List[Graph]:
         acc += c
 
     const_names = {n for n, t in graph.tensors.items() if t.is_const}
-    produced_by_stage: List[set] = []
-    seen = set(graph.inputs) | const_names
     stages: List[Graph] = []
-    available = set(graph.inputs)
     for si, nodes in enumerate(stages_nodes):
         stage_inputs: List[str] = []
         stage_produced = set()

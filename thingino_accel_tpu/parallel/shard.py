@@ -39,7 +39,9 @@ def make_sharded_forward(engine, mesh: Mesh):
     """
     rules, sharded_params = _shard_engine_params(engine, mesh)
     xsh = batch_sharding(mesh)
-    body = engine._fn if not hasattr(engine._fn, "__wrapped__") else engine._fn
+    # unwrap the engine's own jit so the sharded jit traces the raw
+    # body (avoids jit-of-jit and the inner jit's donation semantics)
+    body = getattr(engine._fn, "__wrapped__", engine._fn)
 
     in_names = list(engine.graph.inputs)
     fn = jax.jit(
