@@ -113,16 +113,26 @@ static bool fill_tensor_meta(PyObject *engine, const char *kind,
           bytes *= t.shape.back();
           Py_DECREF(v);
         }
+        // dtype strings numpy cannot construct (e.g. "bfloat16") or
+        // non-int shape dims must surface as an error, not a NULL
+        // deref / negative allocation
         PyObject *np = PyImport_ImportModule("numpy");
-        PyObject *dtype_obj =
-            PyObject_CallMethod(np, "dtype", "s", t.dtype.c_str());
-        PyObject *isz = PyObject_GetAttrString(dtype_obj, "itemsize");
-        bytes *= PyLong_AsLongLong(isz);
-        Py_DECREF(isz);
-        Py_DECREF(dtype_obj);
-        Py_DECREF(np);
-        t.data.assign(static_cast<size_t>(bytes), 0);
-        out->push_back(std::move(t));
+        PyObject *dtype_obj = np ? PyObject_CallMethod(
+            np, "dtype", "s", t.dtype.c_str()) : nullptr;
+        PyObject *isz = dtype_obj
+            ? PyObject_GetAttrString(dtype_obj, "itemsize") : nullptr;
+        int64_t item = isz ? PyLong_AsLongLong(isz) : -1;
+        Py_XDECREF(isz);
+        Py_XDECREF(dtype_obj);
+        Py_XDECREF(np);
+        if (item <= 0 || bytes < 0 || PyErr_Occurred()) {
+          PyErr_Clear();
+          ok = false;
+        } else {
+          bytes *= item;
+          t.data.assign(static_cast<size_t>(bytes), 0);
+          out->push_back(std::move(t));
+        }
       } else {
         ok = false;
       }

@@ -49,7 +49,7 @@ const char *tat_tensor_name(const tat_tensor_t *t);
 int tat_tensor_ndim(const tat_tensor_t *t);
 const int64_t *tat_tensor_shape(const tat_tensor_t *t);
 int64_t tat_tensor_bytes(const tat_tensor_t *t);
-/* dtype as itemsize + signedness code: 1=int8, 4=float32, ... */
+/* dtype as the numpy dtype NAME string ("int8", "float32", ...). */
 const char *tat_tensor_dtype(const tat_tensor_t *t);
 void *tat_tensor_data(tat_tensor_t *t);
 

@@ -166,15 +166,21 @@ int tat_letterbox_rgb(const uint8_t* src, int sh, int sw, uint8_t* dst,
 #pragma omp parallel for schedule(static)
   for (int y = 0; y < nh; ++y) {
     const float fy = (y + 0.5f) / nh * sh - 0.5f;
-    const int y0 = std::max(0, std::min(sh - 1, (int)std::floor(fy)));
-    const int y1 = std::min(sh - 1, y0 + 1);
-    const float wy = fy - std::floor(fy);
+    // clamp BOTH sample indices from the unclamped floor: at the low
+    // edge (floor(fy) == -1) y0 and y1 must both clamp to row 0 so the
+    // weight cancels — clamping only y0 blended 75% of row 1 into the
+    // first output row (diverging from jax.image.resize's clamp)
+    const int yf = (int)std::floor(fy);
+    const int y0 = std::max(0, std::min(sh - 1, yf));
+    const int y1 = std::max(0, std::min(sh - 1, yf + 1));
+    const float wy = fy - yf;
     uint8_t* drow = dst + ((int64_t)(y + py) * tw + px) * 3;
     for (int x = 0; x < nw; ++x) {
       const float fx = (x + 0.5f) / nw * sw - 0.5f;
-      const int x0 = std::max(0, std::min(sw - 1, (int)std::floor(fx)));
-      const int x1 = std::min(sw - 1, x0 + 1);
-      const float wx = fx - std::floor(fx);
+      const int xf = (int)std::floor(fx);
+      const int x0 = std::max(0, std::min(sw - 1, xf));
+      const int x1 = std::max(0, std::min(sw - 1, xf + 1));
+      const float wx = fx - xf;
       for (int c = 0; c < 3; ++c) {
         const float v00 = src[((int64_t)y0 * sw + x0) * 3 + c];
         const float v01 = src[((int64_t)y0 * sw + x1) * 3 + c];

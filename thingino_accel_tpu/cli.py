@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -59,6 +60,11 @@ def cmd_run(args) -> int:
         shape = (args.batch,) + tuple(t.shape[1:])
         if args.input:
             arr = np.load(args.input).astype(t.dtype)
+            if tuple(arr.shape[1:]) != tuple(t.shape[1:]):
+                print(f"error: --input shape {arr.shape} does not match "
+                      f"{name} {t.shape} (batch-free dims)",
+                      file=sys.stderr)
+                return 1
         elif np.issubdtype(t.dtype, np.integer):
             arr = rng.integers(-128, 128, shape).astype(t.dtype)
         else:
@@ -74,9 +80,10 @@ def cmd_run(args) -> int:
     for k, v in out.items():
         print(f"output {k}: shape={v.shape} dtype={v.dtype} "
               f"min={v.min()} max={v.max()} mean={float(np.mean(v)):.4f}")
+    fed_batch = next(iter(feed.values())).shape[0]
     print(f"first call (incl. compile): {compile_s*1e3:.1f} ms; "
           f"steady-state: {run_s*1e3:.2f} ms "
-          f"({args.batch/run_s:.1f} inf/s)")
+          f"({fed_batch/run_s:.1f} inf/s)")
     return 0
 
 
@@ -195,7 +202,17 @@ def cmd_gen_test(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    # bench.py lives at the repo root, not in the package — resolve it
+    # relative to this file so the subcommand works from any cwd
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bp = os.path.join(root, "bench.py")
+    if not os.path.exists(bp):
+        print(f"error: bench.py not found at {bp}", file=sys.stderr)
+        return 1
+    spec = importlib.util.spec_from_file_location("bench", bp)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.main()
     return 0
 

@@ -297,10 +297,15 @@ class AECStream:
         self.graph = graph
         self.engine = Engine(graph)
         self._in = graph.inputs[0]
-        self._h_in = next(i for i in graph.inputs if "h0" in i)
+        self._h_in = next((i for i in graph.inputs if "h0" in i), None)
         outs = list(graph.outputs)
-        self._mask_out = next(o for o in outs if o == "output")
-        self._h_out = next(o for o in outs if "Y_h" in o)
+        self._mask_out = "output" if "output" in outs else None
+        self._h_out = next((o for o in outs if "Y_h" in o), None)
+        if None in (self._h_in, self._mask_out, self._h_out):
+            raise ValueError(
+                "streaming AEC graph must expose 'h0' input, 'output' "
+                f"and 'Y_h' outputs (got inputs={graph.inputs}, "
+                f"outputs={outs}) — import with streaming=True")
 
     def init_state(self) -> np.ndarray:
         shape = self.graph.tensors[self._h_in].shape

@@ -23,10 +23,19 @@ HOP = 256
 FREQ_BINS = 256     # model consumes bins 0..255 of the 257-bin rfft
 
 
-def read_wav(path: str) -> np.ndarray:
-    """16-bit PCM mono WAV -> float32 [-1, 1]."""
+def read_wav(path: str, expect_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """16-bit PCM mono WAV -> float32 [-1, 1].
+
+    ``expect_rate``: the AEC pipeline's STFT constants assume 16 kHz —
+    a mismatched file would be processed at the wrong frame rate and
+    written back slowed down, silently. Pass None to skip the check."""
     with wave.open(path, "rb") as w:
         assert w.getsampwidth() == 2, "16-bit PCM expected"
+        if expect_rate is not None and w.getframerate() != expect_rate:
+            raise ValueError(
+                f"{path}: sample rate {w.getframerate()} != "
+                f"{expect_rate} (resample first, or pass "
+                "expect_rate=None)")
         data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
         if w.getnchannels() > 1:
             data = data.reshape(-1, w.getnchannels())[:, 0]

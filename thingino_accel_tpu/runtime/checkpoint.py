@@ -37,12 +37,28 @@ def save(path: str, params: Any, extra: Optional[Dict[str, Any]] = None,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import orbax.checkpoint as ocp
-        ckpt = ocp.StandardCheckpointer()
-        ckpt.save(os.path.abspath(path) + ".orbax",
-                  jax.tree.map(np.asarray, params), force=True)
-        ckpt.wait_until_finished()
-        backend = "orbax"
-    except Exception:
+        have_orbax = True
+    except ImportError:
+        have_orbax = False
+    if have_orbax:
+        try:
+            ckpt = ocp.StandardCheckpointer()
+            ckpt.save(os.path.abspath(path) + ".orbax",
+                      jax.tree.map(np.asarray, params), force=True)
+            ckpt.wait_until_finished()
+            backend = "orbax"
+        except Exception as e:
+            # a failed orbax WRITE (disk full, flush error) is a real
+            # failure: clean the partial dir, warn loudly, then fall
+            # back so the caller still gets a usable checkpoint
+            import shutil
+            import warnings
+            shutil.rmtree(os.path.abspath(path) + ".orbax",
+                          ignore_errors=True)
+            warnings.warn(f"orbax save failed ({type(e).__name__}: {e}); "
+                          "falling back to npz")
+            have_orbax = False
+    if not have_orbax:
         flat = _flatten(params)
         np.savez(path + ".npz", **flat)
         backend = "npz"
