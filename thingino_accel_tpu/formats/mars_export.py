@@ -78,13 +78,17 @@ def export_mars(graph: Graph, path: Optional[str] = None) -> bytes:
             else:
                 fmt = M.Format.D1
                 blob = np.ascontiguousarray(data)
+                dmap = {np.dtype(np.int32): M.DType.INT32,
+                        np.dtype(np.float32): M.DType.FLOAT32,
+                        np.dtype(np.int8): M.DType.INT8,
+                        np.dtype(np.uint8): M.DType.UINT8,
+                        np.dtype(np.int16): M.DType.INT16}
+                if blob.dtype not in dmap:
+                    # float64/float16 etc: cast rather than declaring
+                    # FLOAT32 over raw foreign bytes (garbage on import)
+                    blob = np.ascontiguousarray(blob, np.float32)
                 shape = blob.shape
-                dt = {np.dtype(np.int32): M.DType.INT32,
-                      np.dtype(np.float32): M.DType.FLOAT32,
-                      np.dtype(np.int8): M.DType.INT8,
-                      np.dtype(np.uint8): M.DType.UINT8,
-                      np.dtype(np.int16): M.DType.INT16,
-                      }.get(blob.dtype, M.DType.FLOAT32)
+                dt = dmap.get(blob.dtype, M.DType.FLOAT32)
             # truncate so the companion "<stored>__chs" also fits the
             # 59-char name field and strips back to exactly this name
             stored = name[:54] if t.channel_scales is not None else name[:58]
@@ -104,6 +108,11 @@ def export_mars(graph: Graph, path: Optional[str] = None) -> bytes:
                     shape=tuple(chs.shape)))
                 weight_arrays[ci] = chs
         else:
+            if (np.issubdtype(t.dtype, np.integer) and not is_i8):
+                raise ValueError(
+                    f"activation {name!r}: .mars has no "
+                    f"{np.dtype(t.dtype).name} activation dtype "
+                    "(int8 or float32 only)")
             dt = M.DType.INT8 if is_i8 else M.DType.FLOAT32
             tensors.append(M.MarsTensor(
                 id=i, name=name[:58], dtype=dt, format=M.Format.NHWC,

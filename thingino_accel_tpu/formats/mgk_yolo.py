@@ -28,6 +28,7 @@ back to the zoo calibration defaults when no run matches.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -101,7 +102,8 @@ def decode_layers_from_symbols(elf: ElfFile) -> List[SymbolLayer]:
     for name, value, _size in elf.symbols:
         if "param_init" in name:
             low = name.lower()
-            for frag, kind in _PARAM_INIT_KINDS:
+            for frag, kind in sorted(_PARAM_INIT_KINDS,
+                                     key=lambda fk: -len(fk[0])):
                 if frag in low:
                     out.append(SymbolLayer(name, kind, value, "param_init"))
                     break
@@ -116,7 +118,11 @@ def decode_layers_from_symbols(elf: ElfFile) -> List[SymbolLayer]:
             if "Add" in name and "Addr" not in name:
                 kind = "Add"
             else:
-                kind = next((k for frag, k in _LAYER_PARAM_KINDS
+                # longest fragment first: "FormatConvert" contains
+                # "Conv" and must not classify as Conv
+                kind = next((k for frag, k in
+                             sorted(_LAYER_PARAM_KINDS,
+                                    key=lambda fk: -len(fk[0]))
                              if frag in name), "Unknown")
             if kind not in seen:
                 seen.add(kind)
@@ -179,6 +185,11 @@ def yolo_weight_table(
     return g, entries, off
 
 
+@functools.lru_cache(maxsize=None)
+def _table_total_bytes(size: str, num_classes: int) -> int:
+    return yolo_weight_table(size, num_classes)[2]
+
+
 def detect_yolo_family(
     elf: ElfFile,
     meta: Optional[MgkMetadata] = None,
@@ -186,11 +197,12 @@ def detect_yolo_family(
 ) -> Optional[str]:
     """Size letter whose weight table exactly matches the appended
     blob length, or None. The reference assumes yolov5s
-    (``main.rs`` --yolo flag); blob-length matching removes the guess."""
+    (``main.rs`` --yolo flag); blob-length matching removes the guess.
+    Byte totals are cached per (size, classes) — building the zoo graph
+    just to sum conv shapes is seconds of work per call otherwise."""
     blob_len = len(elf.appended)
     for size in YOLO_SIZES:
-        _, _, total = yolo_weight_table(size, num_classes)
-        if total == blob_len:
+        if _table_total_bytes(size, num_classes) == blob_len:
             return size
     return None
 

@@ -209,7 +209,6 @@ def from_mars(
     g_tensors: Dict[str, TensorInfo] = {}
     nodes: List[Node] = []
     tname: Dict[int, str] = {}
-    was_nchw: Dict[int, bool] = {}
 
     def uniq(base: str, tid: int) -> str:
         n = base if base else f"t{tid}"
@@ -252,7 +251,6 @@ def from_mars(
                 data=data, source_format=t.format)
         else:
             shape, nchw = _feature_shape_nhwc(t)
-            was_nchw[t.id] = nchw
             g_tensors[nm] = TensorInfo(
                 name=nm, shape=shape, dtype=t.dtype.np, quant=quant,
                 source_format=t.format)

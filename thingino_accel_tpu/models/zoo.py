@@ -271,7 +271,7 @@ def _dw_separable(b: GraphBuilder, x: str, c_out: int, s: int = 1,
 def build_nanodet(
     cfg: Optional[ZooConfig] = None,
     batch: int = 1,
-    num_classes: int = 80,
+    num_classes: Optional[int] = None,
 ) -> Graph:
     """NanoDet-class depthwise detector (the `nanodet_320.mars` config of
     BASELINE.json, not bundled in the reference snapshot). Exercises the
@@ -284,6 +284,8 @@ def build_nanodet(
     [B, H, W, num_classes + 4] (GFL-style box regression simplified to
     plain ltrb)."""
     cfg = cfg or ZooConfig(in_hw=(320, 320))
+    if num_classes is None:
+        num_classes = cfg.num_classes   # authoritative, as in build_yolov5
     b = GraphBuilder(f"nanodet_{cfg.dtype}", cfg)
     h, w = cfg.in_hw
     x = b.input("images", (batch, h, w, 3))

@@ -139,7 +139,8 @@ def quantize_graph(
     for name, t in graph.tensors.items():
         nt = TensorInfo(name=t.name, shape=t.shape, dtype=t.dtype,
                         quant=t.quant, data=t.data,
-                        source_format=t.source_format)
+                        source_format=t.source_format,
+                        channel_scales=t.channel_scales)
         if t.is_const and name in conv_w and np.issubdtype(
                 np.asarray(t.data).dtype, np.floating):
             # per-output-channel symmetric scales — the accuracy-critical
@@ -169,7 +170,15 @@ def quantize_graph(
             continue
         x_name, w_name = node.inputs[0], node.inputs[1]
         xs = stats.scale(x_name)
-        ws = np.asarray(w_scales.get(w_name, 1.0), np.float32)
+        if w_name in w_scales:
+            ws = np.asarray(w_scales[w_name], np.float32)
+        else:
+            # weight was already int8 (skipped above): use its EXISTING
+            # scales — a 1.0 fallback would quantize the bias ~100x off
+            wt = graph.tensors[w_name]
+            ws = (np.asarray(wt.channel_scales, np.float32)
+                  if wt.channel_scales is not None
+                  else np.float32(wt.quant.scale or 1.0))
         denom = np.maximum(np.float32(xs) * ws, 1e-20)
         t.data = np.clip(np.round(np.asarray(t.data, np.float64) / denom),
                          np.iinfo(np.int32).min, np.iinfo(np.int32).max

@@ -39,7 +39,8 @@ def describe() -> str:
     return "\n".join(lines)
 
 
-_bool = lambda s: s not in ("0", "false", "no", "")
+_bool = lambda s: s.strip().lower() not in (
+    "0", "false", "no", "off", "")
 
 _register("TAT_CONV_BACKEND", "xla", str,
           "int8 conv backend: xla | pallas (the USE_MXU analog)")
