@@ -387,6 +387,13 @@ class MarsLayer:
     raw_params: bytes = field(default=b"", repr=False)
 
     def pack(self) -> bytes:
+        if len(self.inputs) > 4 or len(self.outputs) > 4:
+            # 4 id slots per direction: silently truncating (e.g. a
+            # 5-way concat) round-trips to a DIFFERENT graph
+            raise ValueError(
+                f"layer {self.id} ({self.type!r}): .mars supports at "
+                f"most 4 inputs/outputs per layer "
+                f"(got {len(self.inputs)}/{len(self.outputs)})")
         out = struct.pack("<IiII", self.id, int(self.type),
                           len(self.inputs), len(self.outputs))
         ins = list(self.inputs)[:4] + [NO_TENSOR] * (4 - min(len(self.inputs), 4))
