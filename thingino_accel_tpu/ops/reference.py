@@ -510,15 +510,27 @@ def _requant_recip(y: jax.Array, out_scale: float) -> jax.Array:
     return clamp_i8(q)
 
 
+def _deq_operand(v: jax.Array, s: float) -> jax.Array:
+    """Integer operands dequantize by their scale; float operands are
+    already real values (their recorded scale is bookkeeping for a
+    later QUANT, not a factor)."""
+    if jnp.issubdtype(v.dtype, jnp.integer):
+        return v.astype(jnp.float32) * jnp.float32(s)
+    return v.astype(jnp.float32)
+
+
 def mul_q(
     a: jax.Array, b: jax.Array,
     a_scale: float = 1.0, b_scale: float = 1.0, out_scale: float = 1.0,
 ) -> jax.Array:
-    """Elementwise mul (``src/mars/mars_runtime.c:774-838``)."""
-    if not jnp.issubdtype(a.dtype, jnp.integer):
+    """Elementwise mul (``src/mars/mars_runtime.c:774-838``). Mixed
+    int/float operands dequantize EACH side by its own dtype (dispatch
+    on the first operand alone multiplied raw int8 codes as reals)."""
+    a_int = jnp.issubdtype(a.dtype, jnp.integer)
+    b_int = jnp.issubdtype(b.dtype, jnp.integer)
+    if not a_int and not b_int:
         return a * b
-    y = (a.astype(jnp.float32) * jnp.float32(a_scale)) * \
-        (b.astype(jnp.float32) * jnp.float32(b_scale))
+    y = _deq_operand(a, a_scale) * _deq_operand(b, b_scale)
     return _requant_recip(y, out_scale)
 
 
@@ -526,11 +538,13 @@ def add_q(
     a: jax.Array, b: jax.Array,
     a_scale: float = 1.0, b_scale: float = 1.0, out_scale: float = 1.0,
 ) -> jax.Array:
-    """Elementwise add (``src/mars/mars_runtime.c:841-905``)."""
-    if not jnp.issubdtype(a.dtype, jnp.integer):
+    """Elementwise add (``src/mars/mars_runtime.c:841-905``). Mixed
+    operands: see :func:`mul_q`."""
+    a_int = jnp.issubdtype(a.dtype, jnp.integer)
+    b_int = jnp.issubdtype(b.dtype, jnp.integer)
+    if not a_int and not b_int:
         return a + b
-    y = a.astype(jnp.float32) * jnp.float32(a_scale) + \
-        b.astype(jnp.float32) * jnp.float32(b_scale)
+    y = _deq_operand(a, a_scale) + _deq_operand(b, b_scale)
     return _requant_recip(y, out_scale)
 
 

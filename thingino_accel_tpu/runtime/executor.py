@@ -680,7 +680,9 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                 scale(node.inputs[0]), ws, scale(out_name),
                 act=f_act, alpha=a.get("alpha", 0.01) or 0.01)
             if not _act_applied(f_act, act):
-                out = _apply_fused_act(out, act, out_t, compat=False)
+                out = _apply_fused_act(
+                    out, act, out_t, compat=False,
+                    alpha=a.get("alpha", 0.01) or 0.01)
             env[out_name] = out
             return True
 
@@ -926,7 +928,9 @@ def _lower_node_folded(node, env, tensors, opts, plan) -> bool:
                 out_name = store_name
                 out_t = tensors[store_name]
         if not _act_applied(f_act, act):
-            out = _apply_fused_act(out, act, out_t, compat=False)
+            out = _apply_fused_act(
+                out, act, out_t, compat=False,
+                alpha=a.get("alpha", 0.01) or 0.01)
         env[out_name] = out
         o_ch = out_t.shape[3]
         pad = out.shape[3] - f_out * o_ch
@@ -1067,6 +1071,11 @@ def _lower_node(
                 # (incl. SILU/LEAKY) folded into the requant epilogue
                 from thingino_accel_tpu.ops import fused_kernels as FK
                 f_act = _kernel_act(act)
+                if compat and f_act not in ("NONE", "RELU"):
+                    # reference runtime honors fused RELU only
+                    # (mars_runtime.c:701-707): other epilogues must
+                    # NOT run in bit-compat mode
+                    f_act = "NONE"
                 out = FK.conv2d_int8_fused(
                     x, w, bias, out_hw, a["stride"], a["dilation"], pads,
                     scale(node.inputs[0]), ws, scale(out_name),
@@ -1090,14 +1099,16 @@ def _lower_node(
                 out = R.conv2d_f32(
                     x, w, bias, out_hw, a["stride"], a["dilation"], pads,
                     relu, opts.compute_dtype, opts.accum_dtype)
-        out = _apply_fused_act(out, act, out_t, compat)
+        out = _apply_fused_act(out, act, out_t, compat,
+                               alpha=a.get("alpha", 0.01) or 0.01)
         env[out_name] = out
 
     elif op in ("MAXPOOL",):
         x = env[node.inputs[0]]
         out_hw = _nhwc_out_hw(out_t)
         # reference ignores pool padding entirely (mars_runtime.c:939-950)
-        pads = ((0, 0), (0, 0)) if compat else _pool_pads(a)
+        pads = ((0, 0), (0, 0)) if compat else \
+            _pool_pads(a, (x.shape[1], x.shape[2]))
         env[out_name] = R.maxpool(x, a["kernel"], a["stride"], out_hw, pads)
 
     elif op == "AVGPOOL":
@@ -1107,7 +1118,8 @@ def _lower_node(
             return
         out_hw = _nhwc_out_hw(out_t)
         env[out_name] = R.avgpool(
-            x, a["kernel"], a["stride"], out_hw, _pool_pads(a),
+            x, a["kernel"], a["stride"], out_hw,
+            _pool_pads(a, (x.shape[1], x.shape[2])),
             scale(node.inputs[0]), scale(out_name))
 
     elif op == "GLOBAL_AVGPOOL":
@@ -1149,7 +1161,7 @@ def _lower_node(
 
     elif op == "SOFTMAX":
         env[out_name] = R.softmax(
-            env[node.inputs[0]], axis=-1,
+            env[node.inputs[0]], axis=int(a.get("axis", -1)),
             in_scale=scale(node.inputs[0]), out_scale=scale(out_name),
             compat=compat)
 
@@ -1192,7 +1204,7 @@ def _lower_node(
         x = env[node.inputs[0]]
         out_hw = _nhwc_out_hw(out_t)
         sc = a.get("scale", (0, 0))
-        if sc[0] <= 0:
+        if sc[0] <= 0 or sc[1] <= 0:   # corrupt/partial descriptor
             sc = (out_hw[0] // x.shape[1], out_hw[1] // x.shape[2])
         if a.get("mode", 0) == 1 and not compat:
             env[out_name] = R.upsample_bilinear(x, out_hw)
@@ -1406,15 +1418,24 @@ def _lower_gru(node: Node, env: Dict[str, jax.Array]) -> None:
         env[node.outputs[1]] = jnp.stack(finals, axis=0)
 
 
-def _pool_pads(a: Dict[str, Any]) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+def _pool_pads(a: Dict[str, Any], in_hw=None
+               ) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     ep = a.get("explicit_pad", (0, 0, 0, 0))
     if a.get("padding") == "EXPLICIT":
         return (ep[0], ep[1]), (ep[2], ep[3])
+    if a.get("padding") == "SAME" and in_hw is not None:
+        # same split rule as convs: out = ceil(in/stride)
+        kh, kw = a.get("kernel", (1, 1))
+        sh, sw = a.get("stride", (1, 1))
+        ph = max(0, (-(-in_hw[0] // sh) - 1) * sh + kh - in_hw[0])
+        pw = max(0, (-(-in_hw[1] // sw) - 1) * sw + kw - in_hw[1])
+        return (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)
     return (0, 0), (0, 0)
 
 
 def _apply_fused_act(
-    out: jax.Array, act: str, out_t: TensorInfo, compat: bool
+    out: jax.Array, act: str, out_t: TensorInfo, compat: bool,
+    alpha: float = 0.01,
 ) -> jax.Array:
     """Fused activations beyond RELU (which conv kernels handle inline).
 
@@ -1430,7 +1451,7 @@ def _apply_fused_act(
     if act == "RELU6":
         return R.relu6(out, sc, compat=False)
     if act == "LEAKY_RELU":
-        return R.leaky_relu(out, 0.01)
+        return R.leaky_relu(out, alpha or 0.01)
     if act == "SILU":
         return R.silu(out, sc, out_scale=sc)
     if act == "SIGMOID":

@@ -21,6 +21,8 @@ def time_fn(fn: Callable, *args, iters: int = 10,
             warmup: int = 2) -> float:
     """Average seconds/call with fence-based timing (sufficient when the
     runtime executes every dispatch)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
