@@ -24,8 +24,9 @@ Env knobs:
                     order; 0 = row-major NHWC ingest (4,265 vs 4,382
                     fps measured).
   TAT_BENCH_WAIT    seconds to wait for the TPU tunnel to answer before
-                    measuring (default 1800; it goes UNAVAILABLE for
-                    stretches). 0 disables the wait.
+                    measuring (default 3600; it goes UNAVAILABLE for
+                    multi-hour stretches — a 0.0 recorded during an
+                    outage is worse than a long wait). 0 disables.
   TAT_CONV_MERGE    fast tier: merge sibling convs (see utils/config.py)
   TAT_FPN_SPLIT     fast tier: split 1x1-over-concat convs; upsampled
                     parts run at low resolution
@@ -51,9 +52,9 @@ def _wait_for_backend() -> None:
     that starts during one records a meaningless 0.0. Probe with a
     tiny op in a SUBPROCESS (an in-process failed init can wedge the
     tunnel client permanently) and retry up to TAT_BENCH_WAIT seconds
-    (default 1800; 0 disables)."""
+    (default 3600; 0 disables)."""
     import subprocess
-    budget = float(os.environ.get("TAT_BENCH_WAIT", "1800"))
+    budget = float(os.environ.get("TAT_BENCH_WAIT", "3600"))
     deadline = time.monotonic() + budget
     probe = ("import jax, jax.numpy as jnp; "
              "jnp.ones((2, 2)).sum().block_until_ready()")

@@ -239,3 +239,18 @@ def test_dequantize_shared_bias_cloned():
         b1, np.array([100, 200], np.float32) * 0.1 * 0.02, rtol=1e-6)
     np.testing.assert_allclose(
         b2, np.array([100, 200], np.float32) * 0.4 * 0.02, rtol=1e-6)
+
+
+def test_run_accepts_dict_feed_and_rejects_unknown_names():
+    """run()/run_np() accept a single name->array dict positionally (the
+    shape run() itself returns) and reject unknown names cleanly."""
+    eng = Engine.from_mars(reference_model("tiny_160_int8.mars"))
+    x = np.random.default_rng(3).integers(
+        -128, 128, (1, 160, 160, 3), dtype=np.int8)
+    name = eng.graph.inputs[0]
+    by_dict = eng.run_np({name: x})
+    by_pos = eng.run_np(x)
+    for k in by_pos:
+        np.testing.assert_array_equal(by_dict[k], by_pos[k])
+    with pytest.raises(KeyError, match="unknown input"):
+        eng.run_np({"nope": x})

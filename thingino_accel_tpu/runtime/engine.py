@@ -163,8 +163,13 @@ class Engine:
     def run(self, *args: Any, **inputs: Any) -> Dict[str, jax.Array]:
         """Run inference. Positional args map to graph inputs in order.
 
-        Returns dict name -> NHWC jax array (or NCHW if ``nchw_io``).
+        A single dict positional is accepted as a name->array feed
+        (the shape ``run`` itself returns). Returns dict name -> NHWC
+        jax array (or NCHW if ``nchw_io``).
         """
+        if len(args) == 1 and isinstance(args[0], dict):
+            inputs = {**args[0], **inputs}
+            args = ()
         feed: Dict[str, jax.Array] = {}
         for name, arr in zip(self.graph.inputs, args):
             feed[name] = arr
