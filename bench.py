@@ -78,7 +78,7 @@ def _wait_for_backend() -> None:
         time.sleep(60)
 
 
-def build_pipeline(batch: int, size: str):
+def build_pipeline(batch: int, size: str, return_raw: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -173,6 +173,10 @@ def build_pipeline(batch: int, size: str):
     if s2d:
         raw = yolo.space_to_depth_frames(raw)   # the camera-DMA order
     frames = ingest(raw)
+    if return_raw:
+        # sustained-serving benches feed HOST batches through
+        # StreamServer themselves (examples/serve_bench.py)
+        return pipeline, frames, raw
     return pipeline, frames
 
 

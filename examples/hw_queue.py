@@ -45,6 +45,10 @@ ROWS = [
      [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    # sustained serving: host->device ingest overlapped with compute
+    # (depth 1 vs 2/3 through StreamServer; the depth ratio is the
+    # framework claim, the absolute may be tunnel-H2D-bound)
+    ("serve-sustained", [sys.executable, "examples/serve_bench.py"], {}),
     # b128 was only swept on yolov5s; v5n is 3.6x smaller (VMEM
     # headroom) — check whether 256 wins there
     ("merge-fpn-mars-b256",
