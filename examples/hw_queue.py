@@ -45,6 +45,10 @@ ROWS = [
      [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    # model-size scaling: yolov5m through the same pipeline (the zoo's
+    # largest variant; fps should track the 3x MAC ratio vs v5s if the
+    # tier stays roofline-bound)
+    ("yolov5m", [sys.executable, "bench.py"], {"TAT_BENCH_MODEL": "m"}),
     # sustained serving: host->device ingest overlapped with compute
     # (depth 1 vs 2/3 through StreamServer; the depth ratio is the
     # framework claim, the absolute may be tunnel-H2D-bound)
