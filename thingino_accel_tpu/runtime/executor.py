@@ -1243,6 +1243,19 @@ def _lower_node(
                          RoundMode.PLUS_HALF_TRUNC)
         env[out_name] = clamp_i8(q)
 
+    elif op == "FAKE_QUANT":
+        # QAT observer: forward = int8 round-trip at the given scale,
+        # backward = identity (straight-through estimator). Inserted by
+        # training.qat.insert_activation_fake_quant so the QAT loss
+        # models the ACTIVATION quantization the exact tier deploys —
+        # weight-only fake-quant sits at the weight-noise floor and
+        # cannot see the dominant error term.
+        x = env[node.inputs[0]]
+        xf = x.astype(jnp.float32)
+        s = jnp.float32(a["scale"] or 1.0)
+        q = jnp.clip(jnp.round(xf / s), -128, 127) * s
+        env[out_name] = (xf + jax.lax.stop_gradient(q - xf)).astype(x.dtype)
+
     elif op == "SPLIT":
         x = env[node.inputs[0]]
         axis = int(a["axis"])
