@@ -15,9 +15,12 @@ from thingino_accel_tpu.parallel.shard import (
     make_sharded_detector, make_sharded_forward,
     make_sharded_train_step,
 )
+from thingino_accel_tpu.parallel.pipeline import (
+    PipelinedEngine, split_graph,
+)
 
 __all__ = [
     "make_mesh", "param_sharding_rules", "shard_params", "batch_sharding",
     "make_sharded_detector", "make_sharded_forward",
-    "make_sharded_train_step",
+    "make_sharded_train_step", "PipelinedEngine", "split_graph",
 ]
