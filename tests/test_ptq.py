@@ -161,3 +161,21 @@ def test_calibrate_mse_method_end_to_end():
     assert all(np.dtype(t.dtype) == np.int8
                for n, t in gq.tensors.items()
                if not t.is_const and n in gq.tensors)
+
+
+def test_cli_quantize_roundtrip(tmp_path):
+    """`cli quantize` : f32 .mars -> calibrated int8 .mars that loads
+    and runs on the exact tier (the scripts/quantize_onnx.py role)."""
+    from conftest import reference_model
+    from thingino_accel_tpu.cli import main as cli_main
+    from thingino_accel_tpu.runtime import Engine
+
+    out = str(tmp_path / "tiny_q.mars")
+    rc = cli_main(["quantize", "-i", reference_model("tiny_160_f32.mars"),
+                   "-o", out, "--batches", "2"])
+    assert rc == 0
+    eng = Engine.from_mars(out)
+    x = np.random.default_rng(0).integers(
+        -128, 128, (1, 160, 160, 3), dtype=np.int8)
+    (v,) = eng.run_np(x).values()
+    assert v.dtype == np.int8 and v.shape == (1, 154, 154, 64)

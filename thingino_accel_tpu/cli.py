@@ -201,6 +201,67 @@ def cmd_gen_test(args) -> int:
     return 0
 
 
+def cmd_quantize(args) -> int:
+    """PTQ: f32 model (.onnx or .mars) -> calibrated int8 .mars.
+
+    The in-framework role of the reference's offline
+    ``scripts/quantize_onnx.py`` -> QDQ ONNX -> mars-compiler chain:
+    one command, per-channel weight scales, percentile or MSE
+    activation calibration (training/ptq.py).
+    """
+    from thingino_accel_tpu.formats import mars as M
+    from thingino_accel_tpu.formats import mars_export
+    from thingino_accel_tpu.ir.graph import from_mars
+    from thingino_accel_tpu.training import ptq
+
+    if args.input.endswith(".onnx"):
+        from thingino_accel_tpu.formats import onnx as O
+        graph = O.import_onnx(args.input, float32=True)
+    else:
+        graph = from_mars(M.read_mars(args.input))
+    in_name = graph.inputs[0]
+    shape = graph.tensors[in_name].shape
+
+    def batches():
+        if args.images:
+            import glob as _glob
+            from PIL import Image
+            files = sorted(
+                f for f in _glob.glob(os.path.join(args.images, "*"))
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+            )[:args.batches]
+            if not files:
+                raise SystemExit(f"no images in {args.images}")
+            for f in files:
+                img = Image.open(f).convert("RGB").resize(
+                    (shape[2], shape[1]))
+                x = np.asarray(img, np.float32)[None] / 255.0
+                yield {in_name: x}
+        elif args.calib:
+            arr = np.load(args.calib)
+            if hasattr(arr, "files"):           # npz: first array
+                arr = arr[arr.files[0]]
+            arr = np.asarray(arr, np.float32)
+            if arr.ndim == len(shape) - 1:
+                arr = arr[None]
+            for i in range(min(len(arr), args.batches)):
+                yield {in_name: arr[i:i + 1]}
+        else:
+            rng = np.random.default_rng(args.seed)
+            for _ in range(args.batches):
+                yield {in_name: rng.uniform(
+                    0, 1, (1,) + tuple(shape[1:])).astype(np.float32)}
+
+    q = ptq.quantize_model(graph, batches(),
+                           percentile=args.percentile,
+                           method=args.method)
+    mars_export.export_mars(q, args.output)
+    in_scale = q.tensors[q.inputs[0]].quant.scale
+    print(f"wrote {args.output} (int8, input scale {in_scale:.6f}, "
+          f"method {args.method})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     # bench.py lives at the repo root, not in the package — resolve it
     # relative to this file so the subcommand works from any cwd
@@ -265,6 +326,20 @@ def main(argv=None) -> int:
     s.add_argument("--out-channels", type=int, default=16)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_gen_test)
+
+    s = sub.add_parser("quantize", help="PTQ: f32 .onnx/.mars -> int8 .mars")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--images", metavar="DIR",
+                   help="calibration image dir (resized, x/255)")
+    s.add_argument("--calib", metavar="NPY",
+                   help="calibration batches (.npy/.npz, NHWC float)")
+    s.add_argument("--batches", type=int, default=8)
+    s.add_argument("--method", choices=["percentile", "mse"],
+                   default="percentile")
+    s.add_argument("--percentile", type=float, default=99.99)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_quantize)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)
