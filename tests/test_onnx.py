@@ -392,3 +392,31 @@ def test_dq_const_zero_point(rng):
     out = list(run_engine(g, {"x": x}).values())[0]
     ref = x @ ((c.astype(np.float32) - 128.0) * 0.1)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cli_export_onnx_roundtrip(tmp_path):
+    """.mars -> ONNX -> import -> engine matches the exact int8 tier
+    in the dequantized domain (quantization noise only)."""
+    from conftest import reference_model
+    from thingino_accel_tpu.cli import main as cli_main
+    from thingino_accel_tpu.formats import mars as M
+    from thingino_accel_tpu.formats import onnx as O
+    from thingino_accel_tpu.ir.graph import from_mars
+    from thingino_accel_tpu.runtime import Engine
+
+    src = reference_model("tiny_160_int8.mars")
+    out = str(tmp_path / "tiny.onnx")
+    assert cli_main(["export-onnx", "-i", src, "-o", out]) == 0
+
+    g0 = from_mars(M.read_mars(src))
+    e0 = Engine(g0)
+    e1 = Engine(O.import_onnx(out, float32=True))
+    x = np.random.default_rng(0).integers(
+        -128, 128, (1, 160, 160, 3), dtype=np.int8)
+    in_s = g0.tensors[g0.inputs[0]].quant.scale
+    out_s = g0.tensors[g0.outputs[0]].quant.scale
+    y1 = next(iter(e1.run_np(x.astype(np.float32) * in_s).values()))
+    y0 = next(iter(e0.run_np(x).values())).astype(np.float32) * out_s
+    rel = (np.sqrt(np.mean((y0 - y1) ** 2))
+           / max(np.sqrt(np.mean(y1 ** 2)), 1e-9))
+    assert rel < 0.05

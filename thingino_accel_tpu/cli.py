@@ -262,6 +262,21 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_export_onnx(args) -> int:
+    """.mars -> float32 ONNX (dequantized weights), the reverse of
+    ``compile`` — lets models leave the ecosystem for other runtimes
+    (the decompiler's generic builder, ``formats/onnx_export.py``)."""
+    from thingino_accel_tpu.formats import mars as M
+    from thingino_accel_tpu.formats.onnx_export import ir_to_onnx
+    from thingino_accel_tpu.ir.graph import from_mars
+    graph = from_mars(M.read_mars(args.input))
+    blob = ir_to_onnx(graph)
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.output} ({len(blob)} bytes)")
+    return 0
+
+
 def cmd_bench(args) -> int:
     # bench.py lives at the repo root, not in the package — resolve it
     # relative to this file so the subcommand works from any cwd
@@ -340,6 +355,11 @@ def main(argv=None) -> int:
     s.add_argument("--percentile", type=float, default=99.99)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_quantize)
+
+    s = sub.add_parser("export-onnx", help=".mars -> float32 ONNX")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.set_defaults(fn=cmd_export_onnx)
 
     s = sub.add_parser("bench", help="run the headline benchmark")
     s.set_defaults(fn=cmd_bench)
