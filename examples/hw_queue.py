@@ -49,6 +49,9 @@ ROWS = [
     # largest variant; fps should track the 3x MAC ratio vs v5s if the
     # tier stays roofline-bound)
     ("yolov5m", [sys.executable, "bench.py"], {"TAT_BENCH_MODEL": "m"}),
+    # audio modality: AEC real-time factor on the decompiled .mgk
+    # (real weights): one-scan streaming + vmap multi-stream
+    ("aec-rtf", [sys.executable, "examples/aec_bench.py"], {}),
     # sustained serving: host->device ingest overlapped with compute
     # (depth 1 vs 2/3 through StreamServer; the depth ratio is the
     # framework claim, the absolute may be tunnel-H2D-bound)
