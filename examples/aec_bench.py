@@ -44,11 +44,14 @@ def main() -> int:
     W = int(os.environ.get("TAT_AEC_WINDOWS", "256"))
     B = int(os.environ.get("TAT_AEC_BATCH", "32"))
 
+    from thingino_accel_tpu.models.aec import make_stream_scanner
+
     g = import_mgk(AEC, streaming=True)
+    run = make_stream_scanner(g)
     eng = Engine(g)
     body, params = eng._fn, eng.params
     in_name, h_name = g.inputs[0], g.inputs[1]
-    mask_name, h_out = g.outputs[0], g.outputs[1]
+    h_out = g.outputs[1]
     rng = np.random.default_rng(0)
 
     def scan_stream(batch: int):
@@ -59,16 +62,6 @@ def main() -> int:
         wins = jnp.asarray(np.abs(rng.normal(
             size=(W, batch, 1, 256, 8))).astype(np.float32))
         h0 = jnp.zeros((batch, 1, 64, 32), jnp.float32)
-
-        def step(h, x):
-            out = body(params, {in_name: x, h_name: h})
-            return out[h_out], out[mask_name]
-
-        def one_stream(h0, wins):
-            _, masks = jax.lax.scan(step, h0, wins)
-            return masks
-
-        run = jax.jit(jax.vmap(one_stream, in_axes=(0, 1), out_axes=1))
 
         masks = run(h0, wins)                 # compile + warmup
         jax.block_until_ready(masks)

@@ -89,3 +89,29 @@ def test_istft_ri_roundtrip(rng):
     # same bound as the complex-path roundtrip: reconstruction is
     # perfect except the dropped Nyquist bin's white-noise energy
     assert np.abs(got - xin).mean() < 0.02
+
+
+AEC_MGK = "/root/reference/AEC_T41_16K_NS_OUT_UC.mgk"
+
+
+@pytest.mark.skipif(not os.path.exists(AEC_MGK),
+                    reason="AEC .mgk not available")
+def test_stream_scanner_matches_step_loop(rng):
+    """make_stream_scanner (one lax.scan program, vmap over streams) ==
+    AECStream.run window-by-window on the decompiled real-weight graph."""
+    from thingino_accel_tpu.formats.mgk import import_mgk
+
+    g = import_mgk(AEC_MGK, streaming=True)
+    run = aec.make_stream_scanner(g)
+    W, S = 5, 2
+    wins = np.abs(rng.normal(size=(W, S, 1, 256, 8))).astype(np.float32)
+    h0 = np.zeros((S, 1, 64, 32), np.float32)
+    masks = np.asarray(run(jnp.asarray(h0), jnp.asarray(wins)))
+    assert masks.shape == (W, S, 1, 256, 2)
+
+    stream = aec.AECStream(g)
+    for s in range(S):
+        state = None
+        for w in range(W):
+            m, state = stream.run(wins[w, s], state)
+            np.testing.assert_allclose(masks[w, s], m, atol=2e-5)

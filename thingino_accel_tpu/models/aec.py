@@ -199,6 +199,40 @@ def process_stream(
     return masks.reshape(b, fbins, n * chunk, cfg.out_channels)
 
 
+def make_stream_scanner(graph):
+    """One-program streaming runner for the DECOMPILED streaming graph
+    (``formats.mgk.import_mgk(streaming=True)``).
+
+    Returns ``run(h0, windows)``: a jitted ``lax.scan`` over
+    ``windows [W, 1, 256, 8]`` with the gru1 hidden state as carry —
+    the whole stream is ONE XLA program (vs :class:`AECStream`'s
+    per-window host loop, the reference's ``aec_inference.py`` shape),
+    ``vmap``-wrapped over a leading stream axis so N independent
+    streams run concurrently: ``run(h0[S,1,64,32],
+    windows[W,S,1,256,8]) -> masks [W,S,1,256,2]``. Matches
+    AECStream.run window-for-window (tests/test_audio.py).
+    """
+    from thingino_accel_tpu.runtime import Engine
+
+    eng = Engine(graph)
+    body, params = eng._fn, eng.params
+    in_name = graph.inputs[0]
+    h_in = next(i for i in graph.inputs if "h0" in i)
+    outs = list(graph.outputs)
+    mask_out = "output" if "output" in outs else outs[0]
+    h_out = next(o for o in outs if "Y_h" in o)
+
+    def step(h, x):
+        out = body(params, {in_name: x, h_in: h})
+        return out[h_out], out[mask_out]
+
+    def one_stream(h0, wins):
+        _, masks = jax.lax.scan(step, h0, wins)
+        return masks
+
+    return jax.jit(jax.vmap(one_stream, in_axes=(0, 1), out_axes=1))
+
+
 def try_attach_mgk_weights(
     params: Dict[str, jnp.ndarray], weights_blob: bytes
 ) -> Dict[str, jnp.ndarray]:
