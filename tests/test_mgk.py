@@ -254,3 +254,27 @@ def test_mine_tensor_info_and_patterns():
         .startswith(("Conv", "QuantizedLayer"))
     assert mgk.classify_layer_name("layer_46_QuantizeGRU") == "GRU"
     assert mgk.classify_layer_name("123_output_last_layer") == "Output"
+
+
+PERSONDET_SO = "/root/reference/libpersonDet_inf.so"
+
+
+@pytest.mark.skipif(not os.path.exists(PERSONDET_SO),
+                    reason="libpersonDet_inf.so not available")
+def test_inspect_handles_foreign_oem_library():
+    """The generic inspector parses a SECOND in-env OEM binary — the
+    IVS person-detect inference wrapper (.so, MIPS ELF like the .mgk
+    but a C-API library, no magik layer symbols) — without crashing,
+    reporting its sections/symbols honestly (no layers, no invented
+    weights)."""
+    info = mgk.inspect_mgk(PERSONDET_SO)
+    assert info["file_size"] == os.path.getsize(PERSONDET_SO)
+    assert info["sections"].get(".rodata", 0) > 500_000
+    assert info["num_symbols"] > 100
+    assert info["layers"] == []          # honest: not a magik container
+    assert info["weight_bytes"] == 0
+    # the C-API surface is visible through the symtab
+    elf = mgk.parse_elf(open(PERSONDET_SO, "rb").read())
+    names = {n for (n, _, _) in elf.symbols}
+    assert {"PersonDetInit", "PersonDetProcessAsync",
+            "PersonDetGetResult"} <= names
