@@ -149,6 +149,28 @@ class Graph:
         return "\n".join(lines)
 
 
+def count_macs(g: Graph) -> int:
+    """Multiply-accumulates for ONE pass over the graph's stored shapes.
+
+    Counts the MXU ops only (CONV2D / DEPTHWISE_CONV2D / FC) — they
+    carry >99% of a detector's arithmetic. Shapes include whatever
+    batch dim the graph was built with; divide by ``shape[0]`` of the
+    input for per-frame MACs. Used by bench.py's MFU line.
+    """
+    total = 0
+    for node in g.nodes:
+        if node.op not in ("CONV2D", "DEPTHWISE_CONV2D", "FC"):
+            continue
+        out = g.tensors[node.outputs[0]].shape
+        w = g.tensors[node.inputs[1]].shape  # OIHW / (O, I)
+        if node.op == "FC":
+            total += int(np.prod(out)) * int(w[1])
+        else:
+            # w[1] is already Cin/groups (depthwise: 1)
+            total += int(np.prod(out)) * int(w[1] * w[2] * w[3])
+    return total
+
+
 # ---------------------------------------------------------------------------
 # .mars -> IR import
 # ---------------------------------------------------------------------------
