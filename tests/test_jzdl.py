@@ -1,0 +1,147 @@
+"""jzdl embedded-network decompiler tests against the REAL OEM binary.
+
+``/root/reference/libpersonDet_inf.so`` is the in-env IVS person-detect
+wrapper; it embeds a jzdl (Ingenic) network as two .rodata arrays. These
+tests consume the real artifact (not a fixture) and assert the
+reconstruction invariants derived in ``formats/jzdl.py``:
+
+- structural: layer graph parses, channel flow is consistent, the model
+  blob is consumed byte-exactly by the derived per-layer layout;
+- semantic: the two detection heads carry the textbook anchor-detector
+  signature (large negative objectness prior bias, positive class
+  prior) under the decoded [w][bias i32][scale f32] layout — strong
+  independent evidence the head decode (layout, bias, scales) is right.
+
+Reference bar: the reference validates its YOLO .mgk reconstruction via
+``mgk-decompiler/src/yolo_onnx_export.rs`` + ``test_yolo_inference.py``;
+this extends the same offline no-execution methodology to the second
+OEM family shipped in-env.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from thingino_accel_tpu.formats import jzdl
+
+PERSONDET_SO = "/root/reference/libpersonDet_inf.so"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(PERSONDET_SO),
+    reason="libpersonDet_inf.so not available")
+
+
+@pytest.fixture(scope="module")
+def model():
+    return jzdl.load_so(PERSONDET_SO)
+
+
+def test_topology(model):
+    assert model.input_chw == (3, 67, 67)
+    assert len(model.layers) == 32
+    types = [l.ltype for l in model.layers]
+    assert types.count(jzdl.T_CONV_HEAD) == 2
+    assert types.count(jzdl.T_CONCAT) == 1
+    assert types.count(jzdl.T_SPLIT) == 2
+    assert types.count(jzdl.T_MAXPOOL) == 1
+    assert types.count(jzdl.T_UPSAMPLE) == 1
+    # detect layer consumes both heads
+    det = model.layers[-1]
+    assert det.ltype == jzdl.T_DETECT_OUT
+    head_tops = [l.tops[0] for l in model.layers
+                 if l.ltype == jzdl.T_CONV_HEAD]
+    assert set(det.bottoms) == set(head_tops)
+
+
+def test_channel_flow(model):
+    """Every conv's weight size must equal the count implied by the
+    dataflow-linked channels (the file's own Cout field is wrong for
+    depthwise layers; dataflow is the ground truth)."""
+    for l in model.conv_layers():
+        if l.is_depthwise:
+            expect = l.kernel * l.kernel * l.out_channels
+            assert l.in_channels == l.out_channels
+        else:
+            expect = (l.kernel * l.kernel * l.in_channels
+                      * l.out_channels)
+        assert l.weight_size == expect, (l.ltype, l.weight_size, expect)
+    # both heads: 18 = 3 anchors x (4 box + 1 obj + 1 cls)
+    heads = [l for l in model.conv_layers() if l.weight_flag == 4]
+    assert [h.out_channels for h in heads] == [18, 18]
+
+
+def test_model_blob_consumed_exactly(model):
+    """parse_model raises on any accounting mismatch; reaching here
+    with weights attached everywhere means the byte layout is exact."""
+    for l in model.conv_layers():
+        assert l.weights is not None
+        assert l.weights.size == l.weight_size
+    # concat fuses the upsampled FPN branch with the pre-pool skip
+    concat = next(l for l in model.layers if l.ltype == jzdl.T_CONCAT)
+    dw_after = next(l for l in model.conv_layers()
+                    if l.bottoms == concat.tops)
+    assert dw_after.in_channels == 384  # 128 upsampled + 256 skip
+
+
+def test_weight_bitwidths(model):
+    """Stem/heads are 4-bit, depthwise 8-bit, pointwise 5- then 4-bit —
+    the T-series NNA's mixed-precision deployment."""
+    for l in model.conv_layers():
+        absmax = int(np.abs(l.weights.astype(np.int32)).max())
+        if l.is_depthwise:
+            assert absmax > 16          # full int8
+        elif l.ltype == jzdl.T_CONV_STEM or l.weight_flag == 4:
+            assert absmax <= 8          # 4-bit
+        else:
+            assert absmax <= 16         # 5-bit early, 4-bit late
+
+
+def test_quant_metadata_normalized(model):
+    """Inner convs carry a Q31-style signed mantissa (quant_a) whose
+    magnitude is normalized against the packed per-channel shift:
+    median(log2|A| + shift) must sit at the Q31 point. The stem carries
+    the same relationship explicitly (mult in [0.5, 1) * 2^31)."""
+    stem = model.conv_layers()[0]
+    m = stem.q31_mult.astype(np.float64) * 2.0 ** -31
+    assert (m >= 0.5).all() and (m < 1.0).all()
+    for l in model.conv_layers():
+        if l.quant_a is None:
+            continue
+        a = np.abs(l.quant_a.astype(np.float64))
+        hi = (l.quant_packed >> 16).astype(int)
+        med = float(np.median(np.log2(np.maximum(a, 1)) + hi))
+        assert 29.0 <= med <= 32.0, med
+
+
+def test_head_detector_prior_signature(model):
+    """The decoded head bias/scale must reproduce the anchor-detector
+    initialization pattern: objectness channels (index 4 of each
+    anchor's 6) around log(p/(1-p)) for small p — strongly negative —
+    and the single 'person' class channel positive. This validates the
+    [w][bias i32][scale f32] head layout against real semantics, not
+    just byte accounting."""
+    heads = [l for l in model.conv_layers() if l.weight_flag == 4]
+    for h in heads:
+        prior = (h.bias * h.scales).reshape(3, 6)
+        obj = prior[:, 4]
+        cls = prior[:, 5]
+        box = prior[:, :4]
+        assert (obj < -8).all(), obj
+        assert (cls > 2).all(), cls
+        assert (np.abs(box) < 8).all(), box
+
+
+def test_cli_decompile_routes_so(tmp_path, capsys):
+    from thingino_accel_tpu import cli
+    out = tmp_path / "pd.npz"
+    rc = cli.main(["decompile", "-i", PERSONDET_SO,
+                   "--extract-weights", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "jzdl embedded network" in text
+    assert "input 3x67x67" in text
+    z = np.load(out)
+    assert z["L0_weights"].size == 432
+    total = sum(int(z[k].size) for k in z.files if k.endswith("_weights"))
+    assert total == 946080

@@ -159,6 +159,40 @@ def cmd_compile(args) -> int:
 
 def cmd_decompile(args) -> int:
     from thingino_accel_tpu.formats import mgk
+
+    # OEM IVS wrappers (e.g. libpersonDet_inf.so) embed a jzdl network
+    # instead of a magik container — route those to the jzdl decompiler
+    try:
+        from thingino_accel_tpu.formats import jzdl
+        model = jzdl.load_so(args.input)
+    except (ValueError, OSError):
+        model = None
+    if model is not None:
+        c, h, w = model.input_chw
+        print(f"jzdl embedded network: input {c}x{h}x{w}, "
+              f"{len(model.layers)} layers, {model.n_blobs} blobs")
+        for i, l in enumerate(model.layers):
+            tag = jzdl.LAYER_NAMES.get(l.ltype, f"type{l.ltype}")
+            extra = ""
+            if l.is_conv:
+                extra = (f" cin={l.in_channels} cout={l.out_channels}"
+                         f" k={l.kernel} s={l.stride}"
+                         f" w={l.weight_size}B")
+            print(f"  L{i:2d} {tag:9s} {l.bottoms}->{l.tops}{extra}")
+        if args.extract_weights:
+            import numpy as np
+            arrs = {}
+            for i, l in enumerate(model.conv_layers()):
+                arrs[f"L{i}_weights"] = l.weights
+                for f in ("bias", "scales", "q31_mult", "q_shift",
+                          "quant_a", "quant_packed"):
+                    v = getattr(l, f)
+                    if v is not None:
+                        arrs[f"L{i}_{f}"] = v
+            np.savez(args.extract_weights, **arrs)
+            print(f"weights -> {args.extract_weights}")
+        return 0
+
     info = mgk.inspect_mgk(args.input)
     print(json.dumps(info, indent=2, default=str))
     if args.extract_weights:
