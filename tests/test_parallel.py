@@ -218,3 +218,133 @@ def test_sharded_detector_no_cross_device_collectives():
         r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
         r"all-to-all)\b", hlo)
     assert not bad, f"unexpected collectives in dp serving HLO: {bad}"
+
+
+def test_pipeline_four_stages_many_microbatches(mesh8):
+    """VERDICT r3 item 7: >=4 stages, microbatch count > stage count,
+    outputs in feed order, bit-parity with the single-device engine."""
+    from thingino_accel_tpu.parallel.pipeline import PipelinedEngine
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(64, 64))
+    g = zoo.build_yolov5("n", cfg)
+    pipe = PipelinedEngine(g, devices=jax.devices()[:4])
+    assert len(pipe.stages) == 4
+    eng = Engine(g)
+    rng = np.random.default_rng(7)
+    xs = [rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+          for _ in range(12)]
+    outs = list(pipe.run({g.inputs[0]: jnp.asarray(x)} for x in xs))
+    assert len(outs) == 12
+    for x, o in zip(xs, outs):        # order preserved
+        ref = eng.run_np(x)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(o[k]), ref[k],
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_stage_overlap_observed(mesh8, monkeypatch):
+    """The pipeline runtime itself must overlap stages: with stage
+    execution windows instrumented, windows of different stages on
+    different microbatches must intersect in wall time, and the
+    pipeline must finish in well under the serial sum.
+
+    (The 8 virtual CPU devices share one XLA executor, so backend-level
+    compute overlap is not observable in this environment — this pins
+    the runtime's concurrency, which is what carries over to real
+    multi-chip topologies.)"""
+    import time as _time
+    from thingino_accel_tpu.parallel.pipeline import PipelinedEngine
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(32, 32))
+    g = zoo.build_yolov5("n", cfg)
+    pipe = PipelinedEngine(g, devices=jax.devices()[:4])
+    n_stages = len(pipe.stages)
+    assert n_stages == 4
+
+    windows = []
+    orig = PipelinedEngine._stage_call
+    delay = 0.05
+
+    def slow_call(self, si, env):
+        t0 = _time.perf_counter()
+        out = orig(self, si, env)
+        _time.sleep(delay)               # make the window measurable
+        windows.append((si, t0, _time.perf_counter()))
+        return out
+
+    monkeypatch.setattr(PipelinedEngine, "_stage_call", slow_call)
+    n_mb = 8
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    # warm-up pass so stage compiles don't pollute the timing
+    list(pipe.run({g.inputs[0]: x} for _ in range(2)))
+    windows.clear()
+    t0 = _time.perf_counter()
+    outs = list(pipe.run({g.inputs[0]: x} for _ in range(n_mb)))
+    wall = _time.perf_counter() - t0
+    assert len(outs) == n_mb
+    assert len(windows) == n_mb * n_stages
+
+    # concurrency: some window of stage i must intersect one of stage j
+    overlaps = 0
+    for i, (si, a0, a1) in enumerate(windows):
+        for sj, b0, b1 in windows[i + 1:]:
+            if si != sj and max(a0, b0) < min(a1, b1):
+                overlaps += 1
+    assert overlaps > 0, "no cross-stage temporal overlap observed"
+
+    # throughput: serial would be >= n_mb * n_stages * delay; a filled
+    # 4-deep pipeline approaches (n_mb + n_stages - 1) * delay
+    serial_floor = n_mb * n_stages * delay
+    assert wall < 0.75 * serial_floor, (wall, serial_floor)
+
+
+def test_pipeline_stage_placement_and_boundaries(mesh8):
+    """Mirror of the dp collective-free proof for pp: each stage's
+    compiled HLO contains no collectives (transfers are explicit
+    device_puts of ONLY the boundary tensors), and each stage's params
+    live on its own device."""
+    import re
+    from thingino_accel_tpu.parallel.pipeline import PipelinedEngine
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(64, 64))
+    g = zoo.build_yolov5("n", cfg)
+    pipe = PipelinedEngine(g, devices=jax.devices()[:4])
+
+    produced = set()
+    for si, (stage, eng, dev) in enumerate(
+            zip(pipe.stages, pipe.engines, pipe.devices)):
+        # placement
+        for v in eng.params.values():
+            assert dev in v.devices(), (si, dev)
+        # boundary minimality: stage inputs are graph inputs or tensors
+        # produced by earlier stages, and every one is actually consumed
+        consumed = {i for n in stage.nodes for i in n.inputs}
+        for name in stage.inputs:
+            assert name in consumed
+            assert name in produced or name in g.inputs
+        produced.update(o for n in stage.nodes for o in n.outputs)
+        # no collectives in the stage program
+        feed = {k: jnp.zeros(stage.tensors[k].shape,
+                             stage.tensors[k].dtype)
+                for k in stage.inputs}
+        hlo = jax.jit(eng._fn).lower(eng.params, feed).compile().as_text()
+        bad = re.findall(
+            r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
+            r"all-to-all)\b", hlo)
+        assert not bad, f"stage {si} has collectives: {bad}"
+
+
+def test_pipeline_error_propagates(mesh8):
+    """A failing stage surfaces its exception to the consumer instead
+    of wedging the worker threads."""
+    from thingino_accel_tpu.parallel.pipeline import PipelinedEngine
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(32, 32))
+    g = zoo.build_tiny(cfg, in_hw=(32, 32))
+    pipe = PipelinedEngine(g, devices=jax.devices()[:4])
+
+    def bad_call(si, env, _orig=pipe._stage_call):
+        if si == 2:
+            raise RuntimeError("stage 2 boom")
+        return _orig(si, env)
+
+    pipe._stage_call = bad_call
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    with pytest.raises(RuntimeError, match="stage 2 boom"):
+        list(pipe.run({g.inputs[0]: x} for _ in range(6)))

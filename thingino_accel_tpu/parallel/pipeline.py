@@ -122,14 +122,99 @@ class PipelinedEngine:
             env.update(out)
         return {k: env[k] for k in self.graph_outputs}
 
-    def run(self, microbatches: Iterable[Dict[str, Any]]
-            ) -> Iterator[Dict[str, Any]]:
-        import collections
-        inflight: collections.deque = collections.deque()
-        depth = len(self.devices) + 1
-        for mb in microbatches:
-            inflight.append(self._run_one(mb))
-            if len(inflight) >= depth:
-                yield jax.block_until_ready(inflight.popleft())
-        while inflight:
-            yield jax.block_until_ready(inflight.popleft())
+    def _stage_call(self, si: int, env: Dict[str, Any]) -> Dict[str, Any]:
+        """Run stage ``si`` on its device; returns the updated tensor
+        environment. Split out so tests can instrument per-stage
+        execution windows."""
+        eng, dev = self.engines[si], self.devices[si]
+        stage_feed = {
+            k: jax.device_put(env[k], dev) for k in eng.graph.inputs}
+        out = eng._fn(eng.params, stage_feed)
+        jax.block_until_ready(out)
+        new_env = dict(env)
+        new_env.update(out)
+        return new_env
+
+    def run(self, microbatches: Iterable[Dict[str, Any]],
+            queue_depth: int = 2) -> Iterator[Dict[str, Any]]:
+        """Stream microbatches through the stages with one worker
+        thread per stage (1F1B-style inference pipeline).
+
+        Async dispatch alone cannot be relied on for stage overlap (the
+        CPU backend executes synchronously, and even on TPU a
+        multi-process feeder can stall the dispatch thread), so the
+        runtime owns the concurrency: each stage runs in its own
+        thread, connected by bounded queues (``queue_depth`` deep —
+        backpressure keeps at most ``n_stages + queue_depth``
+        microbatches in flight). Results yield in feed order.
+
+        Mirrors the reference's queued NNDMA descriptor chain
+        (``/root/reference/src/nna_dma.c``) in role: keep every
+        execution unit busy without unbounded buffering.
+        """
+        import queue as _queue
+        import threading
+
+        n = len(self.engines)
+        qs: List[_queue.Queue] = [
+            _queue.Queue(maxsize=max(1, queue_depth)) for _ in range(n + 1)]
+        stop = object()
+        errors: List[BaseException] = []
+
+        def worker(si: int) -> None:
+            failed = False
+            while True:
+                item = qs[si].get()
+                if item is stop:
+                    # stop is FIFO-last, so every in-flight item has
+                    # been handled (or discarded) before forwarding it
+                    qs[si + 1].put(stop)
+                    return
+                if failed or errors:
+                    continue                 # discard; error surfaced
+                idx, env = item
+                try:
+                    qs[si + 1].put((idx, self._stage_call(si, env)))
+                except BaseException as e:   # surface in the consumer
+                    errors.append(e)
+                    failed = True
+
+        threads = [threading.Thread(target=worker, args=(si,), daemon=True)
+                   for si in range(n)]
+        for t in threads:
+            t.start()
+
+        def feeder() -> None:
+            try:
+                for idx, mb in enumerate(microbatches):
+                    if errors:
+                        break
+                    qs[0].put((idx, dict(mb)))
+            finally:
+                qs[0].put(stop)
+
+        feed_t = threading.Thread(target=feeder, daemon=True)
+        feed_t.start()
+
+        pending: Dict[int, Dict[str, Any]] = {}
+        next_idx = 0
+        while True:
+            item = qs[n].get()
+            if item is stop:
+                break
+            idx, env = item
+            pending[idx] = env
+            while next_idx in pending:
+                env = pending.pop(next_idx)
+                yield {k: env[k] for k in self.graph_outputs}
+                next_idx += 1
+        for t in threads:
+            t.join()
+        feed_t.join()
+        if errors:
+            raise errors[0]
+        # drain any stragglers that arrived with the stop marker
+        while next_idx in pending:
+            env = pending.pop(next_idx)
+            yield {k: env[k] for k in self.graph_outputs}
+            next_idx += 1
