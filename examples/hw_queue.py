@@ -49,6 +49,10 @@ ROWS = [
     # largest variant; fps should track the 3x MAC ratio vs v5s if the
     # tier stays roofline-bound)
     ("yolov5m", [sys.executable, "bench.py"], {"TAT_BENCH_MODEL": "m"}),
+    # roofline falsification (VERDICT r3 item 3): chained VMEM-resident
+    # dot issue-rate ceiling, int8 vs bf16 vs XLA — decides whether a
+    # C3 megakernel can beat the bf16 fast tier at all
+    ("mxu-ceiling", [sys.executable, "examples/mxu_ceiling_probe.py"], {}),
     # audio modality: AEC real-time factor on the decompiled .mgk
     # (real weights): one-scan streaming + vmap multi-stream
     ("aec-rtf", [sys.executable, "examples/aec_bench.py"], {}),
