@@ -35,6 +35,16 @@ sys.path.insert(0, REPO)
 REF_IMG = "/root/reference/mgk-decompiler/test_detection.jpg"
 REF_MARS = "/root/reference/models/yolov5n.mars"
 
+# Multi-scene eval base (round-4): distinct SOURCE images, not just
+# augments of one photo. Only in-env imagery is available (no network);
+# each adds genuinely different natural statistics and person content.
+_SP = "/opt/venv/lib/python3.12/site-packages"
+SRC_IMGS = {
+    "test_detection": REF_IMG,                       # street scene (ref's own)
+    "grace_hopper": f"{_SP}/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+    "camera_scene": f"{_SP}/pygame/docs/generated/_images/camera_rgb.jpg",
+}
+
 CONF = 0.10
 IOU_MATCH = 0.5
 
@@ -233,8 +243,23 @@ def main() -> int:
         os.environ.pop("TAT_CONV_MERGE", None)
         os.environ.pop("TAT_FPN_SPLIT", None)
 
-    evals = [img] + _augments(img, args.n_eval - 1, seed=7,
-                              mosaics=True)
+    # multi-scene eval set: every available source image plus augments
+    # (calibration stays on test_detection augments only — disjoint
+    # from eval and matching the deployment-domain-calibration story)
+    sources = {}
+    for sname, path in SRC_IMGS.items():
+        if not os.path.exists(path):
+            print(f"# source {sname} missing ({path}); skipped")
+            continue
+        sources[sname] = np.asarray(
+            Image.open(path).convert("RGB"), np.uint8)
+    per_src = max(4, args.n_eval // max(1, len(sources)))
+    evals, eval_src = [], []
+    for si, (sname, src_img) in enumerate(sources.items()):
+        frames = [src_img] + _augments(src_img, per_src - 1,
+                                       seed=7 + si, mosaics=True)
+        evals.extend(frames)
+        eval_src.extend([sname] * len(frames))
     # collect per-frame detections at a low base conf so the main
     # table AND the conf-threshold curve come from one pass
     base_conf = min(CONF, 0.05)
@@ -254,10 +279,12 @@ def main() -> int:
             print(f"eval {ei + 1}/{len(evals)}: "
                   f"{len(per_frame['f32 (oracle)'][-1][0])} oracle boxes")
 
-    def stats_at(conf):
+    def stats_at(conf, src=None):
         rows_c = {k: np.zeros(5) for k in tiers}
         o_boxes = 0
         for fi in range(len(evals)):
+            if src is not None and eval_src[fi] != src:
+                continue
             oracle = _filter_conf(per_frame["f32 (oracle)"][fi], conf)
             o_boxes += len(oracle[0])
             for name in tiers:
@@ -277,9 +304,11 @@ def main() -> int:
         "weights) -> PTQ int8 (per-channel weights, "
         f"{args.calib_method}-calibrated activations on {args.n_calib} "
         "augments of the reference's own test image).",
-        f"Eval: {len(evals)} augmented frames (crops / flips / "
-        "brightness / 2x2 mosaics) of "
-        "`test_detection.jpg`, the image the reference validates on "
+        f"Eval: {len(evals)} frames from {len(sources)} DISTINCT source "
+        f"images ({', '.join(sources)}) plus crops / flips / "
+        "brightness / 2x2-mosaic augments of each — the union table "
+        "below, with per-source breakouts further down. "
+        "`test_detection.jpg` is the image the reference validates on "
         "(`mars_yolo_test.c:174-206`). "
         f"Metric: greedy class-aware matching at IoU > {IOU_MATCH} "
         f"against the f32 oracle, conf > {CONF}.",
@@ -304,6 +333,28 @@ def main() -> int:
     lines += [
         "",
         f"Oracle boxes total: {oracle_boxes}.",
+        "",
+        "## Per-source parity (match rate at conf > %.2f)" % CONF,
+        "",
+        "| tier | " + " | ".join(sources) + " |",
+        "|---|" + "---|" * len(sources),
+    ]
+    src_stats = {s: stats_at(CONF, src=s) for s in sources}
+    for name in tiers:
+        if "oracle" in name:
+            continue
+        cells = []
+        for s in sources:
+            rows_s, ob_s = src_stats[s]
+            if ob_s == 0:
+                # no oracle boxes in this scene: the tier is judged on
+                # false positives only
+                cells.append(f"no boxes; {int(rows_s[name][2])} extra")
+            else:
+                cells.append(f"{rows_s[name][0] / ob_s:.3f}"
+                             f" ({int(ob_s)} boxes)")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    lines += [
         "",
         "## Parity vs confidence threshold (match rate)",
         "",

@@ -56,6 +56,11 @@ ROWS = [
     # audio modality: AEC real-time factor on the decompiled .mgk
     # (real weights): one-scan streaming + vmap multi-stream
     ("aec-rtf", [sys.executable, "examples/aec_bench.py"], {}),
+    # ACCURACY.md v4: multi-scene eval (3 distinct sources) on the
+    # device path, serving tier included (needs TPU), merge/FPN-split
+    # row included
+    ("accuracy-report",
+     [sys.executable, "examples/accuracy_report.py"], {}),
     # sustained serving: host->device ingest overlapped with compute
     # (depth 1 vs 2/3 through StreamServer; the depth ratio is the
     # framework claim, the absolute may be tunnel-H2D-bound)
