@@ -63,30 +63,41 @@ def _config_tag() -> str:
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
+def _load_lkg_all() -> dict:
+    """LKG store: {config_tag: result_record}. Also migrates the
+    legacy single-record layout."""
+    try:
+        with open(_lkg_path()) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if "metric" in data:                     # legacy single record
+        return {data.get("config", _config_tag()): data}
+    return data
+
+
 def _save_lkg(result: dict) -> None:
     import datetime
     rec = dict(result)
     rec["recorded_at"] = datetime.datetime.now(
         datetime.timezone.utc).isoformat(timespec="seconds")
-    rec["config"] = _config_tag()
+    store = _load_lkg_all()
+    store[_config_tag()] = rec
     try:
         with open(_lkg_path(), "w") as f:
-            json.dump(rec, f)
+            json.dump(store, f)
     except OSError as e:
         print(f"# could not persist LKG: {e}", file=sys.stderr)
 
 
 def _emit_lkg(reason: str) -> bool:
-    """Print the last-known-good result (marked stale). True if emitted."""
-    try:
-        with open(_lkg_path()) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
+    """Print the last-known-good result for THIS bench config (marked
+    stale). True if emitted."""
+    rec = _load_lkg_all().get(_config_tag())
+    if not rec:
+        print("# no LKG for this bench config", file=sys.stderr)
         return False
-    if rec.get("config", _config_tag()) != _config_tag():
-        print(f"# LKG config mismatch ({rec.get('config')!r}); "
-              "not emitting", file=sys.stderr)
-        return False
+    rec = dict(rec)
     rec.pop("config", None)
     rec["stale"] = True
     rec["stale_reason"] = reason
