@@ -53,6 +53,9 @@ ROWS = [
     # dot issue-rate ceiling, int8 vs bf16 vs XLA — decides whether a
     # C3 megakernel can beat the bf16 fast tier at all
     ("mxu-ceiling", [sys.executable, "examples/mxu_ceiling_probe.py"], {}),
+    # isolated C3 block: XLA bf16 vs fused pallas int8 chains (the
+    # megakernel A/B at the shapes the fast tier spends conv time on)
+    ("c3-block-ab", [sys.executable, "examples/c3_block_ab.py"], {}),
     # audio modality: AEC real-time factor on the decompiled .mgk
     # (real weights): one-scan streaming + vmap multi-stream
     ("aec-rtf", [sys.executable, "examples/aec_bench.py"], {}),
