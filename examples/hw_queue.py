@@ -37,6 +37,13 @@ ROWS = [
     ("merge", [sys.executable, "bench.py"], {"TAT_CONV_MERGE": "1"}),
     ("merge-fpn", [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1"}),
+    # lane-multiple batch sweep under the rewrites (merge widens the
+    # dots, which shifts the VMEM/batch tradeoff measured at b128)
+    ("merge-fpn-b256", [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
+      "TAT_BENCH_BATCH": "256"}),
+    ("headline-b384", [sys.executable, "bench.py"],
+     {"TAT_BENCH_BATCH": "384"}),
     ("merge-mars",
      [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1",
