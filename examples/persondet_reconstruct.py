@@ -16,9 +16,15 @@ What is fully resolved (see ``formats/jzdl.py`` and tests/test_jzdl.py):
   + packed per-channel shift pair; features run at 5 (early) / 4 (late)
   bits.
 
-What is NOT resolved offline: the exact inner-layer requant law (the
-role split of the two packed shifts) and the pointwise weight
-interleave used by the NNA dot unit. Resolving those needs ground-truth
+- weight layouts, pinned by the per-channel-quant absmax signature
+  (all channels at the quant ceiling only under the true grouping):
+  pointwise/heads (co, ci); depthwise (K*K, C) channel-fastest; stem
+  output-channel-fastest.
+
+What is NOT resolved offline: the exact inner-layer requant law — the
+Q31 mantissa's pairing with the two packed per-channel shifts resists
+blind calibration (K/shift/layout grids all leave features garbled and
+head objectness at its prior). Resolving it needs ground-truth
 activations from the OEM runtime (libjzdl is not shipped in-env) —
 documented here rather than guessed silently.
 

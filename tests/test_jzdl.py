@@ -145,3 +145,24 @@ def test_cli_decompile_routes_so(tmp_path, capsys):
     assert z["L0_weights"].size == 432
     total = sum(int(z[k].size) for k in z.files if k.endswith("_weights"))
     assert total == 946080
+
+
+def test_weight_layout_signatures(model):
+    """Weight layouts pinned by the per-channel-quantization absmax
+    signature: under the TRUE output-channel grouping every channel's
+    int absmax sits at the quant ceiling (the quantizer normalizes each
+    channel to full range); transposed groupings mix channels and break
+    it. This is how the (co, ci) pointwise and (K*K, C) depthwise
+    layouts were established."""
+    for l in model.conv_layers():
+        if l.is_depthwise:
+            am = np.abs(l.weight_taps().astype(np.int32)).max(axis=0)
+            assert (am >= 127).all()          # 8-bit dw, all channels full
+            # transposed reading breaks the signature
+            am_t = np.abs(l.weights.reshape(l.out_channels, 9)
+                          .astype(np.int32)).max(axis=1)
+            assert (am_t >= 127).mean() < 0.9
+        elif l.kernel == 1:
+            w = l.weight_matrix()
+            am = np.abs(w.astype(np.int32)).max(axis=1)
+            assert (am >= am.max() - 1).all(), l.ltype

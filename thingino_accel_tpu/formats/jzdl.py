@@ -44,9 +44,14 @@ param-blob order):
     inner convs:     int8 w[wsize], int32 quantA[C], uint32 packed[C]
                      (packed = hi16 << 16 | lo16, both small shifts)
 
-The inner-conv requant semantics (quantA/packed) are resolved
-empirically by ``examples/persondet_reconstruct.py``; this module
-exposes the raw fields so the interpretation lives in one place.
+Weight layouts (pinned by the per-channel-quant absmax signature —
+every output channel's int absmax at the quant ceiling under the true
+grouping): pointwise/heads (co, ci); depthwise (K*K, C) channel-fastest;
+stem output-channel-fastest. Still open (needs OEM-runtime ground
+truth, libjzdl is not shipped in-env): the exact inner-conv requant law
+— quantA is a Q31-normalized signed per-channel mantissa paired with
+two packed shifts, but the shifts' role split resists blind
+calibration (documented in ``examples/persondet_reconstruct.py``).
 """
 
 from __future__ import annotations
@@ -117,6 +122,26 @@ class JzdlLayer:
     @property
     def is_depthwise(self) -> bool:
         return self.ltype == T_CONV_DW
+
+    # Weight layouts, established by the per-channel-quantization
+    # absmax signature (under the correct output-channel grouping,
+    # EVERY channel's int absmax sits at the quant ceiling — 1.00
+    # fraction for the true layout vs 0.5-0.8 for transposes; see
+    # tests/test_jzdl.py::test_weight_layout_signatures):
+    #   pointwise + heads: (co, ci), ci fastest
+    #   depthwise:         (K*K, C), channel fastest, taps row-major
+    #   stem:              output channel fastest (spatial x ci, co)
+
+    def weight_matrix(self) -> np.ndarray:
+        """1x1 conv / head weights as (co, ci) int8."""
+        assert self.is_conv and self.kernel == 1
+        return self.weights.reshape(self.out_channels, self.in_channels)
+
+    def weight_taps(self) -> np.ndarray:
+        """Depthwise weights as (K*K, C) int8 (taps row-major)."""
+        assert self.is_depthwise
+        return self.weights.reshape(self.kernel * self.kernel,
+                                    self.out_channels)
 
 
 @dataclass
