@@ -66,6 +66,18 @@ def _chain_kernel_bf16(x_ref, w_ref, out_ref, *, L: int):
     out_ref[...] = x
 
 
+def _chain_kernel_int4w(x_ref, w_ref, out_ref, *, L: int):
+    """int8 activations x int4 weights (the reference platform's own
+    weight width; v5e int4 peak ~794 TOPS)."""
+    x = x_ref[...]
+    for i in range(L):
+        acc = jax.lax.dot_general(
+            x, w_ref[i].astype(jnp.int4), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        x = (acc >> 5).astype(jnp.int8)
+    out_ref[...] = x
+
+
 def _chain_kernel_int8_in_bf16_dot(x_ref, w_ref, out_ref, *, L: int):
     """int8 storage, bf16 MXU compute (the round-3 serving experiment
     at zero-glue conditions)."""
@@ -84,6 +96,8 @@ def build(kind: str, m: int, k: int, L: int, grid: int):
         kernel, xdt, wdt = _chain_kernel_int8, jnp.int8, jnp.int8
     elif kind == "bf16":
         kernel, xdt, wdt = _chain_kernel_bf16, jnp.bfloat16, jnp.bfloat16
+    elif kind == "int4w":
+        kernel, xdt, wdt = _chain_kernel_int4w, jnp.int8, jnp.int8
     else:
         kernel, xdt, wdt = _chain_kernel_int8_in_bf16_dot, jnp.int8, jnp.int8
     fn = pl.pallas_call(
@@ -142,18 +156,24 @@ def main() -> int:
     print(f"# chain probe: M={m}/tile x {grid} tiles, L={L} dots, "
           f"K=N swept; T/s = 2*M*K*N*L*grid / time")
     print(f"{'K=N':>6} {'pallas-int8':>12} {'pallas-bf16':>12} "
-          f"{'i8-store/bf16-dot':>18} {'xla-bf16':>10}")
+          f"{'i8-store/bf16-dot':>18} {'int4-w':>8} {'xla-bf16':>10}")
     for k in ((128, 256, 512) if not INTERPRET else (128,)):
         ops = 2.0 * m * k * k * L * grid / 1e12
         row = []
-        for kind in ("int8", "bf16", "mixed"):
-            fn, x, w = build(kind, m, k, L, grid)
-            row.append(measure(fn, (x, w), ops, iters))
+        for kind in ("int8", "bf16", "mixed", "int4w"):
+            try:
+                fn, x, w = build(kind, m, k, L, grid)
+                row.append(measure(fn, (x, w), ops, iters))
+            except Exception as e:   # int4 dots may be unsupported
+                print(f"# {kind} K={k} failed: "
+                      f"{type(e).__name__}: {str(e)[:80]}",
+                      file=sys.stderr)
+                row.append(float("nan"))
         fn, x, w = xla_chain(m, k, L, grid)
         row.append(measure(fn, (x, w), ops, iters))
         print(f"{k:>6} {row[0]:>11.1f}T {row[1]:>11.1f}T "
-              f"{row[2]:>17.1f}T {row[3]:>9.1f}T")
-    print("# int8 peak 394 T/s, bf16 peak 197 T/s (one v5e)")
+              f"{row[2]:>17.1f}T {row[3]:>7.1f}T {row[4]:>9.1f}T")
+    print("# peaks, one v5e: int8 394 T/s, bf16 197 T/s, int4 ~794 T/s")
     return 0
 
 
