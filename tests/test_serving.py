@@ -131,3 +131,31 @@ def test_multistream_batcher_stable_sources():
     # every real frame delivered exactly once
     real = sorted(v for s, v in zip(flat_src, flat_val) if s >= 0)
     assert real == [0, 10, 11, 12, 20, 21, 22]
+
+
+def test_stream_server_watchdog_timeout(monkeypatch):
+    import pytest
+    """A wedged backend (block_until_ready that never returns) must
+    surface as InferenceTimeout + healthy=False instead of hanging the
+    server forever — the reference's DMA-wait-timeout role
+    (nna_dma.c:224)."""
+    import time as _time
+    import numpy as np
+    from thingino_accel_tpu.runtime.serving import (
+        InferenceTimeout, StreamServer,
+    )
+
+    srv = StreamServer(lambda x: x, depth=1, timeout_s=0.2)
+    srv._materialize = lambda out: _time.sleep(5.0)   # instance seam
+    batches = [np.zeros((2, 4), np.float32)]
+    with pytest.raises(InferenceTimeout):
+        list(srv.run(iter(batches)))
+    assert not srv.healthy
+    assert srv.stats.errors == 1
+
+    # a healthy server with the watchdog armed passes results through
+    srv2 = StreamServer(lambda x: x, depth=1, timeout_s=5.0)
+    outs = list(srv2.run(iter([np.ones((2, 4), np.float32)])))
+    assert srv2.healthy and len(outs) == 1
+    np.testing.assert_array_equal(np.asarray(outs[0]),
+                                  np.ones((2, 4), np.float32))

@@ -53,6 +53,13 @@ class ServingStats:
 _FAILED = object()   # dispatch-failed batch sentinel (slot preserved)
 
 
+class InferenceTimeout(RuntimeError):
+    """A drained batch did not materialize within ``timeout_s`` — the
+    backend is presumed wedged and the server marks itself unhealthy
+    (``StreamServer.healthy``). Analog of the reference's DMA wait
+    timeouts (``src/nna_dma.c:224``)."""
+
+
 class StreamServer:
     """Pipelined batch server around any jitted ``fn(batch) -> pytree``.
 
@@ -62,7 +69,8 @@ class StreamServer:
     """
 
     def __init__(self, fn: Callable[[jax.Array], Any], depth: int = 2,
-                 ingest_format: Any = None):
+                 ingest_format: Any = None,
+                 timeout_s: Optional[float] = None):
         if depth < 1:
             raise ValueError("depth must be >= 1")
         self.fn = fn
@@ -72,7 +80,22 @@ class StreamServer:
         # the stem (+6% e2e measured, v5e b128). Pass
         # ingest.batch_minor_format() (or an auto_ingest_format query).
         self.ingest_format = ingest_format
+        # drain watchdog: a wedged backend (observed with the tunneled
+        # device after an unsupported-op error) hangs
+        # block_until_ready forever. With a timeout the server raises
+        # InferenceTimeout instead and marks itself unhealthy — the
+        # reference's explicit DMA wait timeouts play the same role
+        # (/root/reference/src/nna_dma.c:224).
+        self.timeout_s = timeout_s
+        self.wedged = False
         self.stats = ServingStats()
+
+    # seam for the watchdog (and tests): materialize one result pytree
+    _materialize = staticmethod(jax.block_until_ready)
+
+    @property
+    def healthy(self) -> bool:
+        return not self.wedged
 
     def run(self, batches: Iterable[np.ndarray]) -> Iterator[Any]:
         """Feed batches through the pipeline, yielding device results in
@@ -110,8 +133,34 @@ class StreamServer:
             self.stats.errors += 1
             self.stats.batches += 1
             return None
+        if self.wedged:
+            self.stats.errors += 1
+            self.stats.batches += 1
+            return None
         try:
-            out = jax.block_until_ready(out)
+            if self.timeout_s is not None:
+                import concurrent.futures
+                # the hung materialization thread cannot be cancelled
+                # (daemon; leaks only if genuinely wedged, in which
+                # case the process is done serving anyway)
+                ex = concurrent.futures.ThreadPoolExecutor(
+                    1, thread_name_prefix="tat-drain")
+                fut = ex.submit(self._materialize, out)
+                ex.shutdown(wait=False)
+                try:
+                    out = fut.result(timeout=self.timeout_s)
+                except concurrent.futures.TimeoutError:
+                    self.wedged = True
+                    self.stats.errors += 1
+                    self.stats.batches += 1
+                    raise InferenceTimeout(
+                        f"batch not ready after {self.timeout_s}s; "
+                        "backend presumed wedged — server marked "
+                        "unhealthy") from None
+            else:
+                out = self._materialize(out)
+        except InferenceTimeout:
+            raise
         except Exception:
             self.stats.errors += 1
             self.stats.batches += 1
