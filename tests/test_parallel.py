@@ -348,3 +348,24 @@ def test_pipeline_error_propagates(mesh8):
     x = np.zeros((1, 32, 32, 3), np.float32)
     with pytest.raises(RuntimeError, match="stage 2 boom"):
         list(pipe.run({g.inputs[0]: x} for _ in range(6)))
+
+
+def test_pipeline_abandoned_generator_releases_threads(mesh8):
+    """Breaking out of pipe.run() early must not leak worker threads
+    blocked on full queues."""
+    import threading
+    import time as _time
+    from thingino_accel_tpu.parallel.pipeline import PipelinedEngine
+    cfg = zoo.ZooConfig(dtype="float32", in_hw=(32, 32))
+    g = zoo.build_tiny(cfg, in_hw=(32, 32))
+    pipe = PipelinedEngine(g, devices=jax.devices()[:3])
+    before = threading.active_count()
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    gen = pipe.run({g.inputs[0]: x} for _ in range(50))
+    next(gen)           # consume one result
+    gen.close()         # abandon the rest
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before, (
+        threading.active_count(), before)

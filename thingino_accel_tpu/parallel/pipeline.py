@@ -160,21 +160,39 @@ class PipelinedEngine:
             _queue.Queue(maxsize=max(1, queue_depth)) for _ in range(n + 1)]
         stop = object()
         errors: List[BaseException] = []
+        cancelled = threading.Event()
+
+        def _put(q: _queue.Queue, item: Any) -> bool:
+            """Bounded put that gives up when the run is cancelled
+            (consumer abandoned the generator) — otherwise a full
+            queue would pin the worker thread forever."""
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def worker(si: int) -> None:
             failed = False
             while True:
-                item = qs[si].get()
+                try:
+                    item = qs[si].get(timeout=0.2)
+                except _queue.Empty:
+                    if cancelled.is_set():
+                        return
+                    continue
                 if item is stop:
                     # stop is FIFO-last, so every in-flight item has
                     # been handled (or discarded) before forwarding it
-                    qs[si + 1].put(stop)
+                    _put(qs[si + 1], stop)
                     return
-                if failed or errors:
+                if failed or errors or cancelled.is_set():
                     continue                 # discard; error surfaced
                 idx, env = item
                 try:
-                    qs[si + 1].put((idx, self._stage_call(si, env)))
+                    _put(qs[si + 1], (idx, self._stage_call(si, env)))
                 except BaseException as e:   # surface in the consumer
                     errors.append(e)
                     failed = True
@@ -187,34 +205,40 @@ class PipelinedEngine:
         def feeder() -> None:
             try:
                 for idx, mb in enumerate(microbatches):
-                    if errors:
+                    if errors or cancelled.is_set():
                         break
-                    qs[0].put((idx, dict(mb)))
+                    if not _put(qs[0], (idx, dict(mb))):
+                        break
             finally:
-                qs[0].put(stop)
+                _put(qs[0], stop)
 
         feed_t = threading.Thread(target=feeder, daemon=True)
         feed_t.start()
 
         pending: Dict[int, Dict[str, Any]] = {}
         next_idx = 0
-        while True:
-            item = qs[n].get()
-            if item is stop:
-                break
-            idx, env = item
-            pending[idx] = env
+        try:
+            while True:
+                item = qs[n].get()
+                if item is stop:
+                    break
+                idx, env = item
+                pending[idx] = env
+                while next_idx in pending:
+                    env = pending.pop(next_idx)
+                    yield {k: env[k] for k in self.graph_outputs}
+                    next_idx += 1
+            for t in threads:
+                t.join()
+            feed_t.join()
+            if errors:
+                raise errors[0]
+            # drain any stragglers that arrived with the stop marker
             while next_idx in pending:
                 env = pending.pop(next_idx)
                 yield {k: env[k] for k in self.graph_outputs}
                 next_idx += 1
-        for t in threads:
-            t.join()
-        feed_t.join()
-        if errors:
-            raise errors[0]
-        # drain any stragglers that arrived with the stop marker
-        while next_idx in pending:
-            env = pending.pop(next_idx)
-            yield {k: env[k] for k in self.graph_outputs}
-            next_idx += 1
+        finally:
+            # abandoned generator (early break / close): release every
+            # blocked thread instead of leaking them on full queues
+            cancelled.set()
