@@ -1,0 +1,75 @@
+"""Unit tests for bench.py's LKG store + ir.graph.count_macs."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+
+def test_count_macs_hand_computed():
+    from thingino_accel_tpu.models import zoo
+    from thingino_accel_tpu.ir.graph import count_macs
+    g = zoo.build_tiny(zoo.ZooConfig(dtype="float32", in_hw=(32, 32)),
+                       in_hw=(32, 32))
+    total = 0
+    for n in g.nodes:
+        if n.op not in ("CONV2D", "DEPTHWISE_CONV2D", "FC"):
+            continue
+        out = g.tensors[n.outputs[0]].shape
+        w = g.tensors[n.inputs[1]].shape
+        total += int(np.prod(out)) * int(np.prod(w[1:]))
+    assert count_macs(g) == total > 0
+
+
+def test_count_macs_yolov5s_matches_published():
+    from thingino_accel_tpu.models import zoo
+    from thingino_accel_tpu.ir.graph import count_macs
+    g = zoo.build_yolov5("s", zoo.ZooConfig(dtype="int8",
+                                            in_hw=(640, 640)))
+    b = g.tensors[g.inputs[0]].shape[0]
+    gflops = 2 * count_macs(g) / b / 1e9
+    # ultralytics reports 16.5 GFLOPs for yolov5s@640
+    assert 15.5 < gflops < 17.5, gflops
+
+
+def test_lkg_store_per_config(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_lkg_path",
+                        lambda: str(tmp_path / "lkg.json"))
+    monkeypatch.delenv("TAT_CONV_MERGE", raising=False)
+    r1 = {"metric": "m", "value": 100.0, "unit": "fps",
+          "vs_baseline": 0.01}
+    bench._save_lkg(r1)
+    monkeypatch.setenv("TAT_CONV_MERGE", "1")
+    bench._save_lkg({"metric": "m", "value": 200.0, "unit": "fps",
+                     "vs_baseline": 0.02})
+    store = json.loads((tmp_path / "lkg.json").read_text())
+    assert len(store) == 2                      # per-config records
+
+    # emit picks the record matching the CURRENT env config
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda *a, **k:
+                        printed.append(a[0] if a else ""))
+    assert bench._emit_lkg("test")
+    rec = json.loads(printed[-1])
+    assert rec["value"] == 200.0 and rec["stale"] is True
+
+    monkeypatch.delenv("TAT_CONV_MERGE")
+    printed.clear()
+    assert bench._emit_lkg("test")
+    rec = json.loads(printed[-1])
+    assert rec["value"] == 100.0
+
+
+def test_lkg_migrates_legacy_single_record(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_lkg_path",
+                        lambda: str(tmp_path / "lkg.json"))
+    legacy = {"metric": "m", "value": 42.0, "unit": "fps",
+              "vs_baseline": 0.004, "config": bench._config_tag()}
+    (tmp_path / "lkg.json").write_text(json.dumps(legacy))
+    store = bench._load_lkg_all()
+    assert store[bench._config_tag()]["value"] == 42.0
