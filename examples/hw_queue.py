@@ -92,17 +92,26 @@ def main() -> int:
         if pat and pat not in name:
             continue
         env = dict(os.environ, **extra)
+        # the queue only starts once a probe confirmed the tunnel is
+        # up; if it dies mid-queue, fail each remaining row fast
+        # instead of burning bench.py's full wait budget per row (the
+        # LKG fallback keeps rows honest either way)
+        env.setdefault("TAT_BENCH_WAIT", "120")
+        # secondary real-weight row only meaningful on the headline
+        # bench; skip it for sweep rows to keep queue wall-time down
+        if name != "headline":
+            env.setdefault("TAT_BENCH_SECOND", "0")
         print(f"=== {name} ({extra or 'defaults'}) ===", flush=True)
         try:
             p = subprocess.run(argv, cwd=ROOT, env=env, text=True,
-                               capture_output=True, timeout=3600)
+                               capture_output=True, timeout=2400)
             rc, out = p.returncode, (p.stdout + p.stderr).strip()
         except subprocess.TimeoutExpired as e:
             # one wedged row must not abort the queue (per-row blast
             # radius is the whole point of the subprocess isolation)
             rc = 124
             part = e.stdout.decode("utf-8", "replace") if e.stdout else ""
-            out = (part + "\n[row timed out after 3600s]").strip()
+            out = (part + "\n[row timed out after 2400s]").strip()
         print(out[-2000:], flush=True)
         results.append((name, rc, out.splitlines()[-1] if out else ""))
     print("\n=== summary ===")
