@@ -59,7 +59,8 @@ def _config_tag() -> str:
     bench configuration."""
     keys = ("TAT_BENCH_BATCH", "TAT_BENCH_MODEL", "TAT_BENCH_TIER",
             "TAT_BENCH_EXACT", "TAT_BENCH_MARS", "TAT_BENCH_S2D",
-            "TAT_CONV_MERGE", "TAT_FPN_SPLIT")
+            "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
+            "TAT_BENCH_POST", "TAT_BENCH_F32ACC")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
