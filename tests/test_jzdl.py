@@ -166,3 +166,29 @@ def test_weight_layout_signatures(model):
             w = l.weight_matrix()
             am = np.abs(w.astype(np.int32)).max(axis=1)
             assert (am >= am.max() - 1).all(), l.ltype
+
+
+def test_parser_fuzz_never_uncontrolled(model):
+    """Corrupt/truncated blobs must fail with ValueError (or parse to
+    something parse_model rejects) — never IndexError or worse. Same
+    hardening bar as the .mars/.mgk parsers."""
+    import struct
+    param, blob, _ = jzdl.find_embedded_model(PERSONDET_SO)
+    rng = np.random.default_rng(42)
+    for _ in range(60):
+        buf = bytearray(param)
+        for _k in range(int(rng.integers(1, 8))):
+            off = int(rng.integers(0, len(buf) // 4)) * 4
+            buf[off:off + 4] = rng.bytes(4)
+        try:
+            m = jzdl.parse_param(bytes(buf))
+            jzdl.parse_model(blob, m)
+        except (ValueError, struct.error):
+            pass
+    for _ in range(60):
+        cut = int(rng.integers(0, len(param)))
+        try:
+            m = jzdl.parse_param(param[:cut])
+            jzdl.parse_model(blob[:int(rng.integers(0, len(blob)))], m)
+        except (ValueError, struct.error):
+            pass

@@ -160,8 +160,18 @@ def _read_ints(blob: bytes) -> List[int]:
 
 
 def parse_param(blob: bytes) -> JzdlModel:
-    """Decode the ``*_param_mem_h`` structure blob."""
+    """Decode the ``*_param_mem_h`` structure blob. Raises ValueError
+    on corrupt or truncated input (never IndexError)."""
+    try:
+        return _parse_param(blob)
+    except IndexError:
+        raise ValueError("truncated jzdl param blob") from None
+
+
+def _parse_param(blob: bytes) -> JzdlModel:
     ints = _read_ints(blob)
+    if len(ints) < 9:
+        raise ValueError("jzdl param blob too short")
     if ints[0] != PARAM_MAGIC:
         raise ValueError(
             f"bad jzdl param magic {ints[0]:#x} (want {PARAM_MAGIC:#x})")
