@@ -54,7 +54,11 @@ def fake_quant_params(
         return params
     out = {}
     for k, v in params.items():
-        if v.ndim >= 3 and jnp.issubdtype(v.dtype, jnp.floating):
+        # v.size guard: real imported graphs can carry zero-size
+        # materialized-dangling constants (ir.graph._materialize_dangling)
+        # — absmax over an empty array has no identity
+        if v.ndim >= 3 and v.size and jnp.issubdtype(v.dtype,
+                                                     jnp.floating):
             out[k] = fake_quant(v, weight_scale(v, channel_axis))
         else:
             out[k] = v
