@@ -61,6 +61,70 @@ def test_nms_matches_oracle(rng):
     assert got == ref
 
 
+def test_nms_suppress_variants_match_oracle(rng):
+    """matvec (MXU 0/1 dot) and unrolled fixpoint bodies are exact:
+    same survivors as the sequential oracle, incl. a crowded cluster
+    with deep suppression chains."""
+    n = 300
+    # half scattered, half piled into one crowded 100x100 region so
+    # suppression chains alternate keep/suppress several levels deep
+    boxes = np.stack([
+        np.concatenate([rng.uniform(50, 590, n // 2),
+                        rng.uniform(280, 380, n - n // 2)]),
+        np.concatenate([rng.uniform(50, 590, n // 2),
+                        rng.uniform(280, 380, n - n // 2)]),
+        rng.uniform(10, 120, n), rng.uniform(10, 120, n)], axis=1
+    ).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    classes = rng.integers(0, 3, n).astype(np.int32)
+
+    ref_idx = np_nms_oracle(boxes, scores, classes, 0.25, 0.45)
+    ref = sorted((round(float(scores[i]), 5), int(classes[i]))
+                 for i in ref_idx)
+    for impl in ("reduce", "matvec"):
+        for unroll in (1, 2, 3):
+            dets = yolo.nms_fixed(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.asarray(classes), conf_thresh=0.25, iou_thresh=0.45,
+                max_dets=n, suppress_impl=impl, unroll=unroll)
+            got = sorted(
+                (round(float(s), 5), int(c))
+                for s, c, v in zip(np.asarray(dets.scores),
+                                   np.asarray(dets.classes),
+                                   np.asarray(dets.valid)) if v)
+            assert got == ref, (impl, unroll)
+
+
+def test_defer_classes_matches_full_argmax(rng):
+    """decode_and_parse(defer_classes=True) + survivor-only argmax in
+    NMS == the full-N argmax path, for float and scaled-int8 heads."""
+    for mk, scales in (
+        (lambda s: rng.normal(size=s).astype(np.float32) * 2, None),
+        (lambda s: rng.integers(-128, 128, s).astype(np.int8), (0.1, 0.2)),
+    ):
+        feats = [jnp.asarray(mk((2, 8 // (2 ** i), 8 // (2 ** i), 255)))
+                 for i in range(2)]
+        strides = (8, 16)
+        b1, s1, c1 = yolo.decode_and_parse(feats, strides=strides,
+                                           scales=scales)
+        ref = yolo.nms_batched(b1, s1, c1, conf_thresh=0.1, max_dets=50)
+        b2, s2, lg = yolo.decode_and_parse(feats, strides=strides,
+                                           scales=scales,
+                                           defer_classes=True)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-6)
+        got = yolo.nms_batched(b2, s2, lg, conf_thresh=0.1, max_dets=50,
+                               classes_are_logits=True)
+        np.testing.assert_array_equal(np.asarray(ref.classes),
+                                      np.asarray(got.classes))
+        np.testing.assert_array_equal(np.asarray(ref.valid),
+                                      np.asarray(got.valid))
+        np.testing.assert_allclose(np.asarray(ref.boxes),
+                                   np.asarray(got.boxes), rtol=1e-6)
+
+
 def test_nms_class_aware(rng):
     # two perfectly-overlapping boxes, different classes: both survive
     boxes = np.array([[100, 100, 50, 50], [100, 100, 50, 50]], np.float32)

@@ -248,6 +248,7 @@ def decode_and_parse(
     strides: Sequence[int] = YOLOV5_STRIDES,
     num_classes: int = 80,
     scales: Optional[Sequence[float]] = None,
+    defer_classes: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused head decode + parse: raw logit feature maps ->
     (boxes_xywh [B,N,4], conf [B,N], classes [B,N]).
@@ -263,6 +264,13 @@ def decode_and_parse(
     run on the raw int8 values (monotonic for scale > 0) and only the
     handful of consumed channels are dequantized, so the head tensors
     cross HBM once at 1 byte/element instead of being materialized f32.
+
+    ``defer_classes``: skip the full-N argmax; the third return value is
+    the raw class-logit tensor [B, N, NC] (original head dtype) for
+    :func:`nms_fixed`/:func:`nms_batched` ``class_logits=`` — argmax
+    then runs on the pre-NMS survivors only. Exact: argmax is invariant
+    under the positive dequant scale, and every candidate whose class
+    is ever read survives the top-k.
     """
     all_boxes, all_conf, all_cls = [], [], []
     for i, feat in enumerate(feats):
@@ -283,14 +291,19 @@ def decode_and_parse(
             jnp.asarray(anchors[i], jnp.float32)[None, None, :, :]
         obj = sig5[..., 4]
         cls_logits = x[..., 5:]
-        best_logit, cls = _best_class(cls_logits)
+        n = h * w * a
+        if defer_classes:
+            best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
+            cls_entry = cls_logits.reshape(b, n, num_classes)
+        else:
+            best_logit, cls = _best_class(cls_logits)
+            cls_entry = cls.reshape(b, n)
         if sc is not None:
             best_logit = best_logit * sc
         conf = obj * jax.nn.sigmoid(best_logit)
-        n = h * w * a
         all_boxes.append(jnp.concatenate([xy, wh], -1).reshape(b, n, 4))
         all_conf.append(conf.reshape(b, n))
-        all_cls.append(cls.reshape(b, n))
+        all_cls.append(cls_entry)
     return (jnp.concatenate(all_boxes, 1), jnp.concatenate(all_conf, 1),
             jnp.concatenate(all_cls, 1))
 
@@ -583,6 +596,9 @@ def nms_fixed(
     max_dets: int = 100,
     class_aware: bool = True,
     pre_nms: int = 256,
+    suppress_impl: str = "reduce",
+    unroll: int = 1,
+    classes_are_logits: bool = False,
 ) -> Detections:
     """Greedy class-aware NMS with static shapes (single image).
 
@@ -595,12 +611,28 @@ def nms_fixed(
     keep[j] iff no kept higher-scored i overlaps j — converges in
     suppression-chain-depth (<5) iterations of cheap vector ops.
     O(K^2) with K=pre_nms, entirely on device; batch via vmap.
+
+    ``suppress_impl``: the fixpoint step — ``"reduce"`` is the VPU
+    and-reduce over the [K,K] relation; ``"matvec"`` computes the same
+    hit counts as a 0/1 matvec on the MXU (exact: counts <= K-1 fit an
+    f32 accumulator). ``unroll`` applies the step N times per while
+    iteration, amortizing the loop-carry sync; convergence detection
+    stays exact because ``up`` is strictly upper-triangular, so any
+    apparent unroll-cycle is already the fixpoint (keep[j] depends only
+    on keep[<j]; induction from index 0 collapses cycles to fixpoints).
+
+    ``classes_are_logits``: ``classes`` is the raw [N, NC] class-logit
+    tensor (``decode_and_parse(defer_classes=True)``); the argmax runs
+    on the gathered top-k rows only.
     """
     k = min(max(pre_nms, max_dets), scores.shape[0])
     masked = jnp.where(scores >= conf_thresh, scores, 0.0)
     top_scores, idx = top_k_grouped(masked, k)
     top_boxes = _xywh_to_xyxy(boxes_xywh[idx])
-    top_classes = classes[idx]
+    if classes_are_logits:
+        top_classes = jnp.argmax(classes[idx], axis=-1).astype(jnp.int32)
+    else:
+        top_classes = classes[idx]
 
     iou = _iou_matrix(top_boxes)
     if class_aware:
@@ -611,14 +643,29 @@ def nms_fixed(
     idx_r = jnp.arange(k)
     up = overlap & (idx_r[:, None] < idx_r[None, :])  # i suppresses j
 
+    if suppress_impl == "matvec":
+        up_bf = up.astype(jnp.bfloat16)
+
+        def step(keep):
+            hits = jax.lax.dot_general(
+                keep.astype(jnp.bfloat16)[None, :], up_bf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[0]
+            return hits == 0.0
+    else:
+        def step(keep):
+            return ~jnp.any(up & keep[:, None], axis=0)
+
     def cond(state):
         _, changed, it = state
         return changed & (it < k)
 
     def body(state):
         keep, _, it = state
-        new = ~jnp.any(up & keep[:, None], axis=0)
-        return new, jnp.any(new != keep), it + 1
+        new = keep
+        for _ in range(unroll):
+            new = step(new)
+        return new, jnp.any(new != keep), it + unroll
 
     keep, _, _ = jax.lax.while_loop(
         cond, body, (jnp.ones((k,), bool), jnp.array(True), 0))
