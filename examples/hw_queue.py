@@ -17,45 +17,42 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (name, argv, extra env)
+#
+# Round-4 drain notes (2026-08-19, first tunnel-up session):
+# - headline (4,386.7 fps, MFU .366) and mars-real-yolov5n (8,357.9)
+#   measured and persisted to BENCH_LKG.json; dropped from the queue.
+# - TAT_FPN_SPLIT=1 yolov5s fails at exactly b>=128 with an opaque
+#   execute-time INVALID_ARGUMENT (b<=112 runs; compiled memory
+#   analysis is identical to the passing headline: 1.33 GiB, 44 MiB
+#   code) — the split A/B therefore runs at b112 against a b112
+#   headline control.
+# - a failed serving row left the device returning INVALID_ARGUMENT to
+#   every subsequent program until the queue process stopped: rows now
+#   probe-and-wait after any failure, and the wedge-prone serving/
+#   split-heads rows run LAST.
 ROWS = [
-    ("headline", [sys.executable, "bench.py"], {}),
-    ("mars-real-yolov5n",
-     [sys.executable, "bench.py"],
-     {"TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    ("serving-base", [sys.executable, "bench.py"],
-     {"TAT_BENCH_TIER": "serving"}),
-    ("serving-stem-nogrow", [sys.executable, "bench.py"],
-     {"TAT_BENCH_TIER": "serving", "TAT_STEM_NOGROW": "1"}),
-    ("split-heads", [sys.executable, "examples/split_heads_experiment.py"],
-     {}),
-    ("fpn-split", [sys.executable, "bench.py"], {"TAT_FPN_SPLIT": "1"}),
-    ("fpn-split-all", [sys.executable, "bench.py"], {"TAT_FPN_SPLIT": "all"}),
-    ("fpn-split-mars",
-     [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "1",
-      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
     ("merge", [sys.executable, "bench.py"], {"TAT_CONV_MERGE": "1"}),
-    ("merge-fpn", [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1"}),
-    # lane-multiple batch sweep under the rewrites (merge widens the
-    # dots, which shifts the VMEM/batch tradeoff measured at b128)
-    ("merge-fpn-b256", [sys.executable, "bench.py"],
+    ("headline-b112", [sys.executable, "bench.py"],
+     {"TAT_BENCH_BATCH": "112"}),
+    ("fpn-split-b112", [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112"}),
+    ("merge-fpn-b112", [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
-      "TAT_BENCH_BATCH": "256"}),
-    ("headline-b384", [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "384"}),
+      "TAT_BENCH_BATCH": "112"}),
+    ("fpn-split-all-b112", [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "all", "TAT_BENCH_BATCH": "112"}),
     ("merge-mars",
      [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1",
+      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    ("fpn-split-mars",
+     [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "1",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
     ("merge-fpn-mars",
      [sys.executable, "bench.py"],
      {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    # model-size scaling: yolov5m through the same pipeline (the zoo's
-    # largest variant; fps should track the 3x MAC ratio vs v5s if the
-    # tier stays roofline-bound)
-    ("yolov5m", [sys.executable, "bench.py"], {"TAT_BENCH_MODEL": "m"}),
     # roofline falsification (VERDICT r3 item 3): chained VMEM-resident
     # dot issue-rate ceiling, int8 vs bf16 vs XLA — decides whether a
     # C3 megakernel can beat the bf16 fast tier at all
@@ -63,6 +60,26 @@ ROWS = [
     # isolated C3 block: XLA bf16 vs fused pallas int8 chains (the
     # megakernel A/B at the shapes the fast tier spends conv time on)
     ("c3-block-ab", [sys.executable, "examples/c3_block_ab.py"], {}),
+    # NMS/decode tail in isolation: exact suppression variants
+    ("post-tail", [sys.executable, "examples/postproc_tail_experiment.py"],
+     {}),
+    # model-size scaling: yolov5m through the same pipeline (the zoo's
+    # largest variant; fps should track the 3x MAC ratio vs v5s if the
+    # tier stays roofline-bound)
+    ("yolov5m", [sys.executable, "bench.py"], {"TAT_BENCH_MODEL": "m"}),
+    # lane-multiple batch sweep (merge widens the dots, which shifts
+    # the VMEM/batch tradeoff measured at b128)
+    ("merge-b256", [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_BENCH_BATCH": "256"}),
+    ("headline-b384", [sys.executable, "bench.py"],
+     {"TAT_BENCH_BATCH": "384"}),
+    # b128 was only swept on yolov5s; v5n is 3.6x smaller (VMEM
+    # headroom) — check whether 256 wins there
+    ("merge-fpn-mars-b256",
+     [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
+      "TAT_BENCH_BATCH": "256",
+      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
     # audio modality: AEC real-time factor on the decompiled .mgk
     # (real weights): one-scan streaming + vmap multi-stream
     ("aec-rtf", [sys.executable, "examples/aec_bench.py"], {}),
@@ -75,14 +92,35 @@ ROWS = [
     # (depth 1 vs 2/3 through StreamServer; the depth ratio is the
     # framework claim, the absolute may be tunnel-H2D-bound)
     ("serve-sustained", [sys.executable, "examples/serve_bench.py"], {}),
-    # b128 was only swept on yolov5s; v5n is 3.6x smaller (VMEM
-    # headroom) — check whether 256 wins there
-    ("merge-fpn-mars-b256",
-     [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
-      "TAT_BENCH_BATCH": "256",
-      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    # --- wedge-prone rows last (see drain notes above) ---
+    ("serving-base", [sys.executable, "bench.py"],
+     {"TAT_BENCH_TIER": "serving"}),
+    ("serving-stem-nogrow", [sys.executable, "bench.py"],
+     {"TAT_BENCH_TIER": "serving", "TAT_STEM_NOGROW": "1"}),
+    ("split-heads", [sys.executable, "examples/split_heads_experiment.py"],
+     {}),
 ]
+
+
+def _wait_device_ok(budget_s: float = 300.0) -> bool:
+    """Probe the device with a tiny op in a fresh subprocess until it
+    answers (a failed program can leave the tunnel returning
+    INVALID_ARGUMENT to everything for a while — observed 2026-08-19)."""
+    import time
+    probe = ("import jax, jax.numpy as jnp; "
+             "jnp.ones((2, 2)).sum().block_until_ready()")
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=150)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            return False
+        time.sleep(10.0)
 
 
 def main() -> int:
@@ -114,6 +152,10 @@ def main() -> int:
             out = (part + "\n[row timed out after 2400s]").strip()
         print(out[-2000:], flush=True)
         results.append((name, rc, out.splitlines()[-1] if out else ""))
+        failed = rc != 0 or '"value": 0.0' in out
+        if failed and not _wait_device_ok():
+            print("[device did not recover within 300s; continuing]",
+                  flush=True)
     print("\n=== summary ===")
     for name, rc, last in results:
         print(f"{name:24} rc={rc}  {last}")
