@@ -31,9 +31,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #   probe-and-wait after any failure, and the wedge-prone serving/
 #   split-heads rows run LAST.
 ROWS = [
-    ("merge", [sys.executable, "bench.py"], {"TAT_CONV_MERGE": "1"}),
+    # ALL rewrite rows at b112: merge AND split each fail at b>=128
+    # (fresh-compiled plain headline at b128 passes — verified with the
+    # cache redirected — so the cliff is specific to rewritten graphs,
+    # not to fresh compiles). b112 controls make the A/B fair.
     ("headline-b112", [sys.executable, "bench.py"],
      {"TAT_BENCH_BATCH": "112"}),
+    ("merge-b112", [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_BENCH_BATCH": "112"}),
     ("fpn-split-b112", [sys.executable, "bench.py"],
      {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112"}),
     ("merge-fpn-b112", [sys.executable, "bench.py"],
@@ -41,17 +46,21 @@ ROWS = [
       "TAT_BENCH_BATCH": "112"}),
     ("fpn-split-all-b112", [sys.executable, "bench.py"],
      {"TAT_FPN_SPLIT": "all", "TAT_BENCH_BATCH": "112"}),
-    ("merge-mars",
+    ("mars-b112",
      [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1",
+     {"TAT_BENCH_BATCH": "112",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    ("fpn-split-mars",
+    ("merge-mars-b112",
      [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "1",
+     {"TAT_CONV_MERGE": "1", "TAT_BENCH_BATCH": "112",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    ("merge-fpn-mars",
+    ("fpn-split-mars-b112",
      [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
+     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112",
+      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
+    ("merge-fpn-mars-b112",
+     [sys.executable, "bench.py"],
+     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
     # roofline falsification (VERDICT r3 item 3): chained VMEM-resident
     # dot issue-rate ceiling, int8 vs bf16 vs XLA — decides whether a
@@ -67,18 +76,15 @@ ROWS = [
     # largest variant; fps should track the 3x MAC ratio vs v5s if the
     # tier stays roofline-bound)
     ("yolov5m", [sys.executable, "bench.py"], {"TAT_BENCH_MODEL": "m"}),
-    # lane-multiple batch sweep (merge widens the dots, which shifts
-    # the VMEM/batch tradeoff measured at b128)
-    ("merge-b256", [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_BENCH_BATCH": "256"}),
+    # plain-graph batch sweep (also a diagnostic: if plain graphs fail
+    # at b256/384 the cliff is size-based, not rewrite-specific)
+    ("headline-b256", [sys.executable, "bench.py"],
+     {"TAT_BENCH_BATCH": "256"}),
     ("headline-b384", [sys.executable, "bench.py"],
      {"TAT_BENCH_BATCH": "384"}),
-    # b128 was only swept on yolov5s; v5n is 3.6x smaller (VMEM
-    # headroom) — check whether 256 wins there
-    ("merge-fpn-mars-b256",
+    ("mars-b256",
      [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
-      "TAT_BENCH_BATCH": "256",
+     {"TAT_BENCH_BATCH": "256",
       "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
     # audio modality: AEC real-time factor on the decompiled .mgk
     # (real weights): one-scan streaming + vmap multi-stream
