@@ -8,6 +8,7 @@ protocol that is trustworthy through the relay (docs/KERNELS.md).
 
     python examples/hw_queue.py            # all rows
     python examples/hw_queue.py headline   # name-filter
+    python examples/hw_queue.py --from X   # resume: skip rows before X
 """
 
 import os
@@ -130,9 +131,21 @@ def _wait_device_ok(budget_s: float = 300.0) -> bool:
 
 
 def main() -> int:
-    pat = sys.argv[1] if len(sys.argv) > 1 else ""
+    pat, start_at = "", ""
+    args = sys.argv[1:]
+    if args and args[0] == "--from":
+        start_at = args[1]
+        args = args[2:]
+    if args:
+        pat = args[0]
     results = []
+    started = not start_at
     for name, argv, extra in ROWS:
+        if not started:
+            if name == start_at:
+                started = True
+            else:
+                continue
         if pat and pat not in name:
             continue
         env = dict(os.environ, **extra)
