@@ -56,14 +56,34 @@ def bench(graph, precision: str, batch: int, iters: int = 30):
     else:
         xs = [jnp.asarray(rng.integers(-100, 100, shape), jnp.int8)
               for _ in range(3)]
-    fn = jax.jit(lambda x: eng._fn(eng.params, {in_name: x}))
-    for x in xs:
-        jax.block_until_ready(fn(x))
+    # round-2 protocol (docs/KERNELS.md): in-jit scan chain with a data
+    # dependency (C3 preserves shape+dtype, so the block output IS the
+    # next input), scalar return, empty-chain baseline subtracted. The
+    # repeat-dispatch loop this replaced can return before
+    # materialization through the relay.
+    def chained(n):
+        @jax.jit
+        def g(x):
+            def body(c, _):
+                out = eng._fn(eng.params, {in_name: c})
+                return next(iter(out.values())), None
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+        return g
+
+    g0, gN = chained(0), chained(iters)
+    for g in (g0, gN):
+        float(g(xs[0]))
+    reps = 3
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(xs[i % 3])
-    jax.block_until_ready(out)
-    us = (time.perf_counter() - t0) / iters / batch * 1e6
+    for _ in range(reps):
+        float(g0(xs[0]))
+    base = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(gN(xs[0]))
+    full = (time.perf_counter() - t0) / reps
+    us = max(full - base, 1e-9) / iters / batch * 1e6
     return us
 
 

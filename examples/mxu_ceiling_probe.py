@@ -140,13 +140,37 @@ def xla_chain(m: int, k: int, L: int, grid: int):
 
 
 def measure(fn, args, tops_per_call: float, iters: int = 30) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Round-2 protocol (docs/KERNELS.md "Measurement protocol"): chain
+    iterations inside ONE jit via lax.scan with a data dependency
+    between them, return a scalar, and subtract the empty-chain
+    baseline. The first landed version of this probe used the
+    repeat-dispatch loop instead and reported up-to-11x-over-peak
+    numbers (block_until_ready through the relay returns before
+    materialization) — those are void."""
+    x, w = args
+
+    def chained(n):
+        @jax.jit
+        def g(x, w):
+            def body(c, _):
+                return fn(c, w), None
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+        return g
+
+    g0, gN = chained(0), chained(iters)
+    for g in (g0, gN):            # compile + one warm run each
+        float(g(x, w))
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        float(g0(x, w))
+    base = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(gN(x, w))
+    full = (time.perf_counter() - t0) / reps
+    dt = max(full - base, 1e-9)
     return tops_per_call * iters / dt
 
 
