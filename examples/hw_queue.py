@@ -140,7 +140,9 @@ def main() -> int:
         pat = args[0]
     results = []
     started = not start_at
-    for name, argv, extra in ROWS:
+    for row in ROWS:
+        name, argv, extra = row[:3]
+        row_timeout = row[3] if len(row) > 3 else 2400
         if not started:
             if name == start_at:
                 started = True
@@ -161,14 +163,14 @@ def main() -> int:
         print(f"=== {name} ({extra or 'defaults'}) ===", flush=True)
         try:
             p = subprocess.run(argv, cwd=ROOT, env=env, text=True,
-                               capture_output=True, timeout=2400)
+                               capture_output=True, timeout=row_timeout)
             rc, out = p.returncode, (p.stdout + p.stderr).strip()
         except subprocess.TimeoutExpired as e:
             # one wedged row must not abort the queue (per-row blast
             # radius is the whole point of the subprocess isolation)
             rc = 124
             part = e.stdout.decode("utf-8", "replace") if e.stdout else ""
-            out = (part + "\n[row timed out after 2400s]").strip()
+            out = (part + f"\n[row timed out after {row_timeout}s]").strip()
         print(out[-2000:], flush=True)
         results.append((name, rc, out.splitlines()[-1] if out else ""))
         failed = rc != 0 or '"value": 0.0' in out
