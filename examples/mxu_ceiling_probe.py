@@ -139,6 +139,28 @@ def xla_chain(m: int, k: int, L: int, grid: int):
     return f, x, ws
 
 
+def xla_int8_chain(m: int, k: int, L: int, grid: int):
+    """XLA int8 chain, no pallas: the exact tier's shift+matmul MXU
+    path (ops/reference.py:conv2d_int8_raw) at zero-glue conditions.
+    If THIS reaches int8 rate, a turbo-int8 tier (int8 storage, XLA
+    dots, cheap requant) halves the fast tier's HBM bytes without
+    Mosaic kernel authorship."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-100, 100, (m * grid, k)), jnp.int8)
+    ws = jnp.asarray(rng.integers(-100, 100, (L, k, k)), jnp.int8)
+
+    @jax.jit
+    def f(x, ws):
+        def body(x, w):
+            acc = jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc >> 7).astype(jnp.int8), None
+        y, _ = jax.lax.scan(body, x, ws)
+        return y
+    return f, x, ws
+
+
 def measure(fn, args, tops_per_call: float, iters: int = 30) -> float:
     """Round-2 protocol (docs/KERNELS.md "Measurement protocol"): chain
     iterations inside ONE jit via lax.scan with a data dependency
@@ -180,7 +202,8 @@ def main() -> int:
     print(f"# chain probe: M={m}/tile x {grid} tiles, L={L} dots, "
           f"K=N swept; T/s = 2*M*K*N*L*grid / time")
     print(f"{'K=N':>6} {'pallas-int8':>12} {'pallas-bf16':>12} "
-          f"{'i8-store/bf16-dot':>18} {'int4-w':>8} {'xla-bf16':>10}")
+          f"{'i8-store/bf16-dot':>18} {'int4-w':>8} {'xla-bf16':>10} "
+          f"{'xla-int8':>10}")
     for k in ((128, 256, 512) if not INTERPRET else (128,)):
         ops = 2.0 * m * k * k * L * grid / 1e12
         row = []
@@ -195,8 +218,11 @@ def main() -> int:
                 row.append(float("nan"))
         fn, x, w = xla_chain(m, k, L, grid)
         row.append(measure(fn, (x, w), ops, iters))
+        fn, x, w = xla_int8_chain(m, k, L, grid)
+        row.append(measure(fn, (x, w), ops, iters))
         print(f"{k:>6} {row[0]:>11.1f}T {row[1]:>11.1f}T "
-              f"{row[2]:>17.1f}T {row[3]:>7.1f}T {row[4]:>9.1f}T")
+              f"{row[2]:>17.1f}T {row[3]:>7.1f}T {row[4]:>9.1f}T "
+              f"{row[5]:>9.1f}T")
     print("# peaks, one v5e: int8 394 T/s, bf16 197 T/s, int4 ~794 T/s")
     return 0
 
