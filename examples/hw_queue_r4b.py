@@ -45,6 +45,9 @@ hw_queue.ROWS = [
      {"TAT_BENCH_MODEL": "m", "TAT_BENCH_BATCH": "112"}),
     ("v5m-b96", [sys.executable, "bench.py"],
      {"TAT_BENCH_MODEL": "m", "TAT_BENCH_BATCH": "96"}),
+    # re-run: died in session A on a sys.path bug (examples/ scripts
+    # don't get the repo root on the path; fixed in serve_bench.py)
+    ("serve-sustained", [sys.executable, "examples/serve_bench.py"], {}),
     # wedge-prone last: the bisect intentionally runs failing programs
     # (~10 probes x compile+recovery -> generous timeout)
     ("cliff-bisect", [sys.executable, "examples/cliff_bisect.py"], {}, 7200),

@@ -33,6 +33,9 @@ import time
 
 import numpy as np
 
+# bench.py lives at the repo root, not in examples/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
     import bench
