@@ -48,7 +48,11 @@ hw_queue.ROWS = [
     # re-run: died in session A on a sys.path bug (examples/ scripts
     # don't get the repo root on the path; fixed in serve_bench.py)
     ("serve-sustained", [sys.executable, "examples/serve_bench.py"], {}),
-    # wedge-prone last: the bisect intentionally runs failing programs
+    # wedge-prone rows last (serving fails+wedges at its default b128;
+    # b112 gives the parity tier its ladder number)
+    ("serving-b112", [sys.executable, "bench.py"],
+     {"TAT_BENCH_TIER": "serving", "TAT_BENCH_BATCH": "112"}),
+    # the bisect intentionally runs failing programs
     # (~10 probes x compile+recovery -> generous timeout)
     ("cliff-bisect", [sys.executable, "examples/cliff_bisect.py"], {}, 7200),
 ]
