@@ -110,17 +110,27 @@ ROWS = [
 
 
 def _wait_device_ok(budget_s: float = 300.0) -> bool:
-    """Probe the device with a tiny op in a fresh subprocess until it
+    """Probe the device with a LARGE op in a fresh subprocess until it
     answers (a failed program can leave the tunnel returning
-    INVALID_ARGUMENT to everything for a while — observed 2026-08-19)."""
+    INVALID_ARGUMENT to subsequent programs for a while — observed
+    2026-08-19).  A tiny ``ones((2,2)).sum()`` probe PASSES while big
+    programs still fail (session-B fence-ab was fed a wedged device
+    that way), so the probe is a b128 conv — the smallest program
+    class seen to hit the wedge (examples/wedge_probe.py)."""
     import time
-    probe = ("import jax, jax.numpy as jnp; "
-             "jnp.ones((2, 2)).sum().block_until_ready()")
+    probe = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 80, 80, 128), jnp.bfloat16)\n"
+        "w = jnp.ones((3, 3, 128, 128), jnp.bfloat16)\n"
+        "y = jax.jit(lambda x, w: jax.lax.conv_general_dilated(\n"
+        "    x, w, (1, 1), 'SAME',\n"
+        "    dimension_numbers=('NHWC', 'HWIO', 'NHWC')))(x, w)\n"
+        "jax.block_until_ready(y)\n")
     deadline = time.monotonic() + budget_s
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=150)
+                               capture_output=True, timeout=240)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
