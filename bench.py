@@ -34,6 +34,14 @@ Env knobs:
   TAT_CONV_MERGE    fast tier: merge sibling convs (see utils/config.py)
   TAT_FPN_SPLIT     fast tier: split 1x1-over-concat convs; upsampled
                     parts run at low resolution
+
+Diagnostic knobs (examples/feed_bisect.py — isolate which feed-pipeline
+element triggers the opaque execute-time INVALID_ARGUMENT on some
+configs; not perf configs, never the default):
+  TAT_BENCH_INGEST  "bm" (default) batch-minor ingest layout | "plain"
+                    row-major device_put
+  TAT_BENCH_PRE     0 = skip letterbox+quantize (cast only)
+  TAT_BENCH_POST    "parse" (default) | "topk" | "none" (raw heads)
 """
 
 from __future__ import annotations
@@ -60,7 +68,8 @@ def _config_tag() -> str:
     keys = ("TAT_BENCH_BATCH", "TAT_BENCH_MODEL", "TAT_BENCH_TIER",
             "TAT_BENCH_EXACT", "TAT_BENCH_MARS", "TAT_BENCH_S2D",
             "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
-            "TAT_BENCH_POST", "TAT_BENCH_F32ACC")
+            "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
+            "TAT_BENCH_INGEST", "TAT_BENCH_PRE")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -208,17 +217,26 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
     LAST_INFO["macs_per_frame"] = count_macs(eng.graph) // g_batch
 
     post = os.environ.get("TAT_BENCH_POST", "parse")
+    pre = os.environ.get("TAT_BENCH_PRE", "1") != "0"
 
     @jax.jit
     def pipeline(frames_u8):
-        lb = yolo.letterbox_uint8(frames_u8, in_hw)
-        # fast tier: keep the quantized integer VALUES in bf16 — the
-        # engine's input DEQUANT accepts any real dtype and the int8
-        # thin-channel materialization costs a relayout
-        x = yolo.quantize_input_int8(
-            lb, dtype=jnp.bfloat16 if precision == "fast" else jnp.int8)
+        if pre:
+            lb = yolo.letterbox_uint8(frames_u8, in_hw)
+            # fast tier: keep the quantized integer VALUES in bf16 — the
+            # engine's input DEQUANT accepts any real dtype and the int8
+            # thin-channel materialization costs a relayout
+            x = yolo.quantize_input_int8(
+                lb, dtype=jnp.bfloat16 if precision == "fast" else jnp.int8)
+        else:
+            # diagnostic (feed_bisect): skip letterbox+quantize, cast only
+            x = frames_u8.astype(
+                jnp.bfloat16 if precision == "fast" else jnp.int8)
         feats = body(params, {in_name: x})
         heads = [feats[k] for k in out_names]
+        if post == "none":
+            # diagnostic (feed_bisect): raw head tensors, no decode/NMS
+            return heads
         if post == "topk":
             # single-pass confidences + survivor-only box decode.
             # Measured SLOWER e2e than decode_and_parse (3,622 vs
@@ -248,7 +266,11 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
         dtype=np.uint8)
     if s2d:
         raw = yolo.space_to_depth_frames(raw)   # the camera-DMA order
-    frames = ingest(raw)
+    if os.environ.get("TAT_BENCH_INGEST", "bm") == "plain":
+        # diagnostic (feed_bisect): row-major placement, in-graph relayout
+        frames = jax.device_put(raw, jax.devices()[0])
+    else:
+        frames = ingest(raw)
     if return_raw:
         # sustained-serving benches feed HOST batches through
         # StreamServer themselves (examples/serve_bench.py)

@@ -19,91 +19,58 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (name, argv, extra env)
 #
-# Round-4 drain notes (2026-08-19, first tunnel-up session):
-# - headline (4,386.7 fps, MFU .366) and mars-real-yolov5n (8,357.9)
-#   measured and persisted to BENCH_LKG.json; dropped from the queue.
-# - TAT_FPN_SPLIT=1 yolov5s fails at exactly b>=128 with an opaque
-#   execute-time INVALID_ARGUMENT (b<=112 runs; compiled memory
-#   analysis is identical to the passing headline: 1.33 GiB, 44 MiB
-#   code) — the split A/B therefore runs at b112 against a b112
-#   headline control.
-# - a failed serving row left the device returning INVALID_ARGUMENT to
-#   every subsequent program until the queue process stopped: rows now
-#   probe-and-wait after any failure, and the wedge-prone serving/
-#   split-heads rows run LAST.
+# Queue 3 (2026-08-19, post-feed-bisect): examples/feed_bisect.py ran
+# the EXACT previously-failing config (v5s split b128) through all six
+# feed-element rungs — every rung PASSED, including the full bench
+# pipeline. The "b>=128 rewrite cliff" was therefore never
+# program-specific: the old probe-and-wait used a tiny ones((2,2))
+# probe, which PASSES on a wedged device while big programs still fail
+# (examples/wedge_probe.py), so whole stretches of queue rows ran
+# against a wedged device and "failed reproducibly". Every cliff row
+# is re-queued below under the big-conv probe.
+MARS_V5N = os.path.join(ROOT, "models/yolov5n_cal_int8.mars")
 ROWS = [
-    # ALL rewrite rows at b112: merge AND split each fail at b>=128
-    # (fresh-compiled plain headline at b128 passes — verified with the
-    # cache redirected — so the cliff is specific to rewritten graphs,
-    # not to fresh compiles). b112 controls make the A/B fair.
-    ("headline-b112", [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "112"}),
-    ("merge-b112", [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_BENCH_BATCH": "112"}),
-    ("fpn-split-b112", [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112"}),
-    ("merge-fpn-b112", [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1",
-      "TAT_BENCH_BATCH": "112"}),
-    ("fpn-split-all-b112", [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "all", "TAT_BENCH_BATCH": "112"}),
-    ("mars-b112",
-     [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "112",
-      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    ("merge-mars-b112",
-     [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_BENCH_BATCH": "112",
-      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    ("fpn-split-mars-b112",
-     [sys.executable, "bench.py"],
+    # the two known-best configs, re-validated fresh + their frontier
+    ("split-b128", [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "128",
+      "TAT_BENCH_SECOND": "0"}),
+    ("split-b120", [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "120",
+      "TAT_BENCH_SECOND": "0"}),
+    ("split-b136", [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "136",
+      "TAT_BENCH_SECOND": "0"}),
+    # real-weight v5n + split (failed only under the wedge before);
+    # v5n is the row closest to the 10k north star
+    ("mars-split-b128", [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "128",
+      "TAT_BENCH_MARS": MARS_V5N}),
+    ("mars-split-b112", [sys.executable, "bench.py"],
      {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112",
-      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    ("merge-fpn-mars-b112",
-     [sys.executable, "bench.py"],
-     {"TAT_CONV_MERGE": "1", "TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112",
-      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    # roofline falsification (VERDICT r3 item 3): chained VMEM-resident
-    # dot issue-rate ceiling, int8 vs bf16 vs XLA — decides whether a
-    # C3 megakernel can beat the bf16 fast tier at all
-    ("mxu-ceiling", [sys.executable, "examples/mxu_ceiling_probe.py"], {}),
-    # isolated C3 block: XLA bf16 vs fused pallas int8 chains (the
-    # megakernel A/B at the shapes the fast tier spends conv time on)
-    ("c3-block-ab", [sys.executable, "examples/c3_block_ab.py"], {}),
-    # NMS/decode tail in isolation: exact suppression variants
-    ("post-tail", [sys.executable, "examples/postproc_tail_experiment.py"],
-     {}),
-    # model-size scaling: yolov5m through the same pipeline (the zoo's
-    # largest variant; fps should track the 3x MAC ratio vs v5s if the
-    # tier stays roofline-bound)
-    ("yolov5m", [sys.executable, "bench.py"], {"TAT_BENCH_MODEL": "m"}),
-    # plain-graph batch sweep (also a diagnostic: if plain graphs fail
-    # at b256/384 the cliff is size-based, not rewrite-specific)
-    ("headline-b256", [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "256"}),
-    ("headline-b384", [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "384"}),
-    ("mars-b256",
-     [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "256",
-      "TAT_BENCH_MARS": os.path.join(ROOT, "models/yolov5n_cal_int8.mars")}),
-    # audio modality: AEC real-time factor on the decompiled .mgk
-    # (real weights): one-scan streaming + vmap multi-stream
-    ("aec-rtf", [sys.executable, "examples/aec_bench.py"], {}),
-    # ACCURACY.md v4: multi-scene eval (3 distinct sources) on the
-    # device path, serving tier included (needs TPU), merge/FPN-split
-    # row included
-    ("accuracy-report",
-     [sys.executable, "examples/accuracy_report.py"], {}),
-    # sustained serving: host->device ingest overlapped with compute
-    # (depth 1 vs 2/3 through StreamServer; the depth ratio is the
-    # framework claim, the absolute may be tunnel-H2D-bound)
+      "TAT_BENCH_MARS": MARS_V5N}),
+    ("mars-b144", [sys.executable, "bench.py"],
+     {"TAT_BENCH_BATCH": "144", "TAT_BENCH_MARS": MARS_V5N}),
+    ("mars-b160", [sys.executable, "bench.py"],
+     {"TAT_BENCH_BATCH": "160", "TAT_BENCH_MARS": MARS_V5N}),
+    # model-size scaling rows (failed only under the wedge)
+    ("v5m-b96", [sys.executable, "bench.py"],
+     {"TAT_BENCH_MODEL": "m", "TAT_BENCH_BATCH": "96",
+      "TAT_BENCH_SECOND": "0"}),
+    ("v5m-b112", [sys.executable, "bench.py"],
+     {"TAT_BENCH_MODEL": "m", "TAT_BENCH_BATCH": "112",
+      "TAT_BENCH_SECOND": "0"}),
+    # whole-model fenced-loop protocol validation on TPU (CPU ratio
+    # was 0.95; this closes the headline-protocol question)
+    ("fence-ab", [sys.executable, "examples/bench_fence_ab.py"], {}),
+    # where does the real-v5n frame time go (MFU only .19)
+    ("v5n-profile", [sys.executable, "examples/e2e_profile.py"],
+     {"TAT_BENCH_MARS": MARS_V5N}),
+    # sustained serving through StreamServer (host H2D overlapped)
     ("serve-sustained", [sys.executable, "examples/serve_bench.py"], {}),
-    # --- wedge-prone rows last (see drain notes above) ---
-    ("serving-base", [sys.executable, "bench.py"],
-     {"TAT_BENCH_TIER": "serving"}),
-    ("serving-stem-nogrow", [sys.executable, "bench.py"],
-     {"TAT_BENCH_TIER": "serving", "TAT_STEM_NOGROW": "1"}),
+    # --- wedge-prone rows last ---
+    ("serving-b112", [sys.executable, "bench.py"],
+     {"TAT_BENCH_TIER": "serving", "TAT_BENCH_BATCH": "112",
+      "TAT_BENCH_SECOND": "0"}),
     ("split-heads", [sys.executable, "examples/split_heads_experiment.py"],
      {}),
 ]
