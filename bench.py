@@ -33,7 +33,9 @@ Env knobs:
                     honestly-labelled cached number. 0 disables waiting.
   TAT_CONV_MERGE    fast tier: merge sibling convs (see utils/config.py)
   TAT_FPN_SPLIT     fast tier: split 1x1-over-concat convs; upsampled
-                    parts run at low resolution
+                    parts run at low resolution. DEFAULT ON
+                    (utils/config.py; +2.9% measured: 4,515.4 vs
+                    4,386.7 fps at b128). "" to disable.
 
 Diagnostic knobs (examples/feed_bisect.py — isolate which feed-pipeline
 element triggers the opaque execute-time INVALID_ARGUMENT on some
@@ -293,6 +295,43 @@ def measure(batch: int, size: str, iters: int) -> float:
     return batch * iters / dt
 
 
+def _retry_fresh_cache() -> bool:
+    """Re-exec this bench once with a pristine compile-cache dir.
+
+    An executable serialized to the persistent cache while the
+    device/tunnel was wedged fails at execute with an opaque
+    INVALID_ARGUMENT forever after — a poisoned entry reproduces the
+    failure on every later (healthy) run of that config. Found
+    2026-08-19: the 'b>=128 rewrite cliff' was exactly this; the same
+    config passes at full speed with a fresh cache
+    (examples/feed_bisect.py). The retry subprocess re-measures with
+    TAT_JAX_CACHE pointed at a scratch dir, re-emits its JSON line,
+    and persists the LKG itself. True if the retry produced a line."""
+    if os.environ.get("TAT_BENCH_CACHE_RETRY") == "1":
+        return False          # already the retry; don't recurse
+    import subprocess
+    import tempfile
+    print("# INVALID_ARGUMENT with persistent cache: retrying with a "
+          "fresh cache dir (poisoned-entry defense)", file=sys.stderr)
+    env = dict(os.environ)
+    env["TAT_BENCH_CACHE_RETRY"] = "1"
+    env["TAT_JAX_CACHE"] = tempfile.mkdtemp(prefix="tat_cache_retry_")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print("# fresh-cache retry timed out", file=sys.stderr)
+        return False
+    sys.stderr.write(r.stderr)
+    line = next((ln for ln in r.stdout.splitlines()
+                 if ln.startswith("{")), None)
+    if r.returncode == 0 and line:
+        print(line)
+        return True
+    return False
+
+
 # chip peak, one v5e: 197 TFLOP/s bf16, 394 TOP/s int8
 _PEAK = {"bf16": 197e12, "int8": 394e12}
 
@@ -317,16 +356,21 @@ def main() -> None:
         batches = [128]
 
     best_fps, best_batch = 0.0, 0
+    saw_invalid_argument = False
     for b in batches:
         try:
             fps = measure(b, size, iters)
         except Exception as e:  # OOM at large batch, mid-run outage etc.
             print(f"# batch {b} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+            saw_invalid_argument |= "INVALID_ARGUMENT" in str(e)
             continue
         print(f"# batch {b}: {fps:.1f} fps", file=sys.stderr)
         if fps > best_fps:
             best_fps, best_batch = fps, b
+
+    if best_fps <= 0.0 and saw_invalid_argument and _retry_fresh_cache():
+        return
 
     if best_fps <= 0.0:
         if _emit_lkg("measurement failed"):

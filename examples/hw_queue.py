@@ -29,36 +29,36 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # against a wedged device and "failed reproducibly". Every cliff row
 # is re-queued below under the big-conv probe.
 MARS_V5N = os.path.join(ROOT, "models/yolov5n_cal_int8.mars")
+# Queue 4 (2026-08-19): the 'cliff' was POISONED COMPILE-CACHE entries
+# (executables serialized during device-wedge periods fail at execute
+# with INVALID_ARGUMENT forever; bench.py now retries with a fresh
+# cache). The poisoned .jax_cache was replaced; every casualty row
+# re-runs below, plus the megakernel pricing probe and a fresh
+# default-config headline (fpn-split is the default since today).
 ROWS = [
-    # the two known-best configs, re-validated fresh + their frontier
-    ("split-b128", [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "128",
-      "TAT_BENCH_SECOND": "0"}),
-    ("split-b120", [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "120",
-      "TAT_BENCH_SECOND": "0"}),
-    ("split-b136", [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "136",
-      "TAT_BENCH_SECOND": "0"}),
-    # real-weight v5n + split (failed only under the wedge before);
-    # v5n is the row closest to the 10k north star
+    # driver-default config: now fpn-split b128 (expect ~4,515 +
+    # real-v5n secondary row in the same JSON line)
+    ("headline-default", [sys.executable, "bench.py"], {}),
+    # real-weight v5n + split (the 10k-north-star row; never measured
+    # un-wedged). If split hurts v5n, bench's secondary row config
+    # gets revisited.
     ("mars-split-b128", [sys.executable, "bench.py"],
      {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "128",
       "TAT_BENCH_MARS": MARS_V5N}),
-    ("mars-split-b112", [sys.executable, "bench.py"],
-     {"TAT_FPN_SPLIT": "1", "TAT_BENCH_BATCH": "112",
+    ("mars-plain-b128", [sys.executable, "bench.py"],
+     {"TAT_FPN_SPLIT": "", "TAT_BENCH_BATCH": "128",
       "TAT_BENCH_MARS": MARS_V5N}),
-    ("mars-b144", [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "144", "TAT_BENCH_MARS": MARS_V5N}),
-    ("mars-b160", [sys.executable, "bench.py"],
-     {"TAT_BENCH_BATCH": "160", "TAT_BENCH_MARS": MARS_V5N}),
-    # model-size scaling rows (failed only under the wedge)
+    # model-size scaling rows (poisoned-cache casualties)
     ("v5m-b96", [sys.executable, "bench.py"],
      {"TAT_BENCH_MODEL": "m", "TAT_BENCH_BATCH": "96",
       "TAT_BENCH_SECOND": "0"}),
     ("v5m-b112", [sys.executable, "bench.py"],
      {"TAT_BENCH_MODEL": "m", "TAT_BENCH_BATCH": "112",
       "TAT_BENCH_SECOND": "0"}),
+    # megakernel pricing: epilogue + 3x3-tap costs at ceiling
+    # conditions (decides whether the C3 megakernel gets built)
+    ("megakernel-probe", [sys.executable, "examples/megakernel_probe.py"],
+     {}),
     # whole-model fenced-loop protocol validation on TPU (CPU ratio
     # was 0.95; this closes the headline-protocol question)
     ("fence-ab", [sys.executable, "examples/bench_fence_ab.py"], {}),
@@ -135,7 +135,7 @@ def main() -> int:
         env.setdefault("TAT_BENCH_WAIT", "120")
         # secondary real-weight row only meaningful on the headline
         # bench; skip it for sweep rows to keep queue wall-time down
-        if name != "headline":
+        if not name.startswith("headline"):
             env.setdefault("TAT_BENCH_SECOND", "0")
         print(f"=== {name} ({extra or 'defaults'}) ===", flush=True)
         try:

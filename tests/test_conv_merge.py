@@ -88,7 +88,7 @@ def test_merge_composes_with_fpn_split(rng, monkeypatch):
                                             w_scale=0.0005))
     x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
     monkeypatch.delenv("TAT_CONV_MERGE", raising=False)
-    monkeypatch.delenv("TAT_FPN_SPLIT", raising=False)
+    monkeypatch.setenv("TAT_FPN_SPLIT", "")  # explicit off (default is now "1")
     base = Engine(g, EngineOptions(precision="fast")).run_np(x)
     monkeypatch.setenv("TAT_CONV_MERGE", "1")
     monkeypatch.setenv("TAT_FPN_SPLIT", "1")
@@ -105,7 +105,7 @@ def test_merge_split_nanodet(rng, monkeypatch):
                                         w_scale=0.0005))
     x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
     monkeypatch.delenv("TAT_CONV_MERGE", raising=False)
-    monkeypatch.delenv("TAT_FPN_SPLIT", raising=False)
+    monkeypatch.setenv("TAT_FPN_SPLIT", "")  # explicit off (default is now "1")
     base = Engine(g, EngineOptions(precision="fast")).run_np(x)
     monkeypatch.setenv("TAT_CONV_MERGE", "1")
     monkeypatch.setenv("TAT_FPN_SPLIT", "1")
@@ -143,7 +143,7 @@ def test_bench_combo_s2d_merge_split(rng, monkeypatch):
     x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
     cfg = zoo.ZooConfig(dtype="int8", in_hw=(64, 64), w_scale=0.0005)
     monkeypatch.delenv("TAT_CONV_MERGE", raising=False)
-    monkeypatch.delenv("TAT_FPN_SPLIT", raising=False)
+    monkeypatch.setenv("TAT_FPN_SPLIT", "")  # explicit off (default is now "1")
     base = Engine(zoo.build_yolov5("n", cfg),
                   EngineOptions(precision="fast")).run_np(x)
     g = zoo.build_yolov5("n", cfg)
