@@ -71,7 +71,7 @@ def _config_tag() -> str:
             "TAT_BENCH_EXACT", "TAT_BENCH_MARS", "TAT_BENCH_S2D",
             "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
             "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
-            "TAT_BENCH_INGEST", "TAT_BENCH_PRE")
+            "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -181,6 +181,12 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
     else:
         cfg = zoo.ZooConfig(dtype="int8", in_hw=(640, 640))
         graph = zoo.build_yolov5(size, cfg)
+    if os.environ.get("TAT_HEAD_PAD", "0") != "0":
+        # pad per-anchor head groups 85 -> 128 (zero weight rows): the
+        # decode reshape becomes lane-aligned, deleting the full-head
+        # relayout copies (10.6 us/frame v5n; ir/passes.py docstring)
+        from thingino_accel_tpu.ir.passes import pad_detect_heads
+        pad_detect_heads(graph)
     s2d = False
     if os.environ.get("TAT_BENCH_S2D", "1") != "0":
         # fixed-camera s2d ingest: stem rewritten to 3x3 s1 cin=12,

@@ -468,6 +468,72 @@ def split_detect_heads(graph: Graph, step: int = 85) -> List[List[str]]:
     return groups
 
 
+def pad_detect_heads(graph: Graph, step: int = 85,
+                     block: int = 128) -> int:
+    """Pad each detect-conv graph output's per-anchor channel group
+    from ``step`` to ``block`` (the TPU lane width) with ZERO weight
+    rows, so the decode consumer's ``(A, block)`` reshape splits the
+    channel dim at a lane-tile boundary and is layout-preserving.
+
+    Motivation (measured, yolov5n@640 b128 v5e): the packed
+    ``[B,H,W,A*85]`` heads force XLA to materialize relayout copies
+    between the detect convs and the decode — 10.6 us/frame of the
+    119 us e2e frame time (`copy.122/124/128` in the TPU HLO; the
+    85-channel groups straddle the (8,128) lane tiles). Zero weight
+    rows add +50% FLOPs to the three 1x1 head convs (~4% of model
+    MACs) but produce BIT-IDENTICAL logits in the real channels —
+    float accumulation over appended zeros is exact, unlike
+    `split_detect_heads` (which measured -8% e2e: three thin convs
+    lose XLA's layout choice) or a head-layout constraint (measured
+    -4%, docs/KERNELS.md round-3).
+
+    The decode side (`models.yolo.decode_and_parse`) derives the
+    per-anchor block from the channel count and slices the real
+    ``step`` channels, so padded and unpadded heads share one decode.
+    Returns the number of padded head convs.
+    """
+    cons = graph.consumers()
+    n_padded = 0
+    for out_name in list(graph.outputs):
+        node = next((n for n in graph.nodes if out_name in n.outputs),
+                    None)
+        out_t = graph.tensors[out_name]
+        if (node is None or node.op != "CONV2D"
+                or node.attrs.get("kernel") != (1, 1)
+                or len(out_t.shape) != 4 or out_t.shape[3] % step
+                or out_t.shape[3] == step
+                or cons.get(out_name)):   # packed tensor has consumers
+            continue
+        a = out_t.shape[3] // step
+        pad = block - step
+        if pad <= 0:
+            continue
+        wt = graph.tensors[node.inputs[1]]
+        # weight rows are output channels (OIHW); interleave zero rows
+        # after each anchor's group
+        w = wt.data.reshape((a, step) + wt.data.shape[1:])
+        wz = np.zeros((a, pad) + wt.data.shape[1:], wt.data.dtype)
+        wt.data = np.concatenate([w, wz], axis=1).reshape(
+            (a * block,) + wt.data.shape[1:])
+        wt.shape = wt.data.shape
+        if wt.channel_scales is not None:
+            cs = np.asarray(wt.channel_scales).reshape(a, step)
+            wt.channel_scales = np.concatenate(
+                [cs, np.ones((a, pad), cs.dtype)], axis=1).reshape(-1)
+        if len(node.inputs) > 2:
+            bt = graph.tensors[node.inputs[2]]
+            bv = bt.data.reshape(a, step)
+            bt.data = np.concatenate(
+                [bv, np.zeros((a, pad), bt.data.dtype)], axis=1
+            ).reshape(-1)
+            bt.shape = bt.data.shape
+        out_t.shape = out_t.shape[:3] + (a * block,)
+        n_padded += 1
+    if n_padded:
+        graph.validate()
+    return n_padded
+
+
 def split_concat_convs(graph: Graph, mode: str = "upsample") -> int:
     """Split 1x1 float convs over channel concats into per-part dots.
 

@@ -278,7 +278,12 @@ def decode_and_parse(
         a = anchors.shape[1]
         sc = (jnp.float32(scales[i])
               if scales is not None and scales[i] is not None else None)
-        x = feat.reshape(b, h, w, a, 5 + num_classes)
+        # per-anchor block from the channel count: 5+num_classes for
+        # plain heads, the padded lane-aligned width for
+        # ir.passes.pad_detect_heads heads (pad channels are zero
+        # weights — never read; the aligned reshape is a free bitcast)
+        assert ch % a == 0 and ch // a >= 5 + num_classes, (ch, a)
+        x = feat.reshape(b, h, w, a, ch // a)
         x5 = x[..., 0:5].astype(jnp.float32)
         if sc is not None:
             x5 = x5 * sc
@@ -290,7 +295,7 @@ def decode_and_parse(
         wh = jnp.square(sig5[..., 2:4] * 2.0) * \
             jnp.asarray(anchors[i], jnp.float32)[None, None, :, :]
         obj = sig5[..., 4]
-        cls_logits = x[..., 5:]
+        cls_logits = x[..., 5:5 + num_classes]   # excludes pad channels
         n = h * w * a
         if defer_classes:
             best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
