@@ -71,7 +71,8 @@ def _config_tag() -> str:
             "TAT_BENCH_EXACT", "TAT_BENCH_MARS", "TAT_BENCH_S2D",
             "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
             "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
-            "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD")
+            "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD",
+            "TAT_S2D_DEEP")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -196,6 +197,12 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
         # without an eligible stem.
         from thingino_accel_tpu.ir.passes import stem_space_to_depth
         s2d = stem_space_to_depth(graph)
+        if s2d and os.environ.get("TAT_S2D_DEEP", "0") != "0":
+            # fold one stage deeper: stem emits s2d output, the 3x3 s2
+            # downsample becomes 2x2 s1 at 4x the contraction width
+            # (bit-exact; ir/passes.fold_stage2_downsample)
+            from thingino_accel_tpu.ir.passes import fold_stage2_downsample
+            fold_stage2_downsample(graph)
     precision = os.environ.get("TAT_BENCH_TIER", "fast")
     if os.environ.get("TAT_BENCH_EXACT") == "1":
         precision = "exact"

@@ -398,6 +398,140 @@ def stem_space_to_depth(graph: Graph) -> bool:
     return False
 
 
+def fold_stage2_downsample(graph: Graph) -> bool:
+    """Extend the s2d fold one stage deeper: the stem conv emits its
+    output directly in 2x2 space-to-depth layout, and the stage-2
+    ``3x3 s2`` downsample conv becomes ``2x2 s1`` over the folded
+    tensor — the thin-K downsample (K=C_stem, e.g. 32) runs at
+    K=4*C_stem instead.
+
+    Motivation (examples/fold_probe.py, v5e b128): the isolated
+    ``3x3 s2 320x320x32 -> 64`` runs 1.14x faster as ``2x2 s1
+    160x160x128 -> 64`` (36.7 -> 32.3 us/frame). The general region
+    fold measured 0.49x (recorded negative, same probe) — only this
+    two-node pattern wins, because the downsample consumes the fold
+    for free.
+
+    Pattern: ``input -> convA (odd K, s1, SAME) [-> SIGMOID/MUL SiLU
+    chain] -> convB (3x3 s2 SAME)``, convA's output consumed only by
+    the chain, the chain only by convB. Arithmetic is exact: every
+    output sums the same products (the stem rewrite places each
+    original tap at one parity position; the downsample rewrite
+    gathers the same 3x3 window from parity channels, out-of-window
+    parity taps zeroed), so the exact tier stays bit-identical
+    (tests/test_fold_stage2.py).
+
+    Returns True if rewritten.
+    """
+    cons = graph.consumers()
+    in_names = set(graph.inputs)
+    for a_node in graph.nodes:
+        if (a_node.op != "CONV2D" or a_node.inputs[0] not in in_names
+                or a_node.attrs.get("stride") != (1, 1)
+                or a_node.attrs.get("groups", 1) != 1
+                or a_node.attrs.get("dilation", (1, 1)) != (1, 1)):
+            continue
+        ka, kaw = a_node.attrs.get("kernel", (0, 0))
+        if ka != kaw or ka % 2 != 1:
+            continue
+        pa = (ka - 1) // 2
+        ep = a_node.attrs.get("explicit_pad")
+        if (a_node.attrs.get("padding") == "EXPLICIT"
+                and ep is not None and tuple(ep) != (pa,) * 4):
+            continue
+        t_name = a_node.outputs[0]
+        t = graph.tensors[t_name]
+        if len(t.shape) != 4 or t.shape[1] % 2 or t.shape[2] % 2:
+            continue
+        # walk the (optional) SiLU chain to the single conv consumer
+        chain_tensors: List[str] = []
+        cur = t_name
+        b_node = None
+        while True:
+            cs_ = cons.get(cur, [])
+            if len(cs_) == 1 and cs_[0].op == "CONV2D":
+                b_node = cs_[0]
+                break
+            if len(cs_) == 2:
+                sig = next((n for n in cs_ if n.op == "SIGMOID"), None)
+                mul = next((n for n in cs_ if n.op == "MUL"), None)
+                if (sig is not None and mul is not None
+                        and set(mul.inputs) == {cur, sig.outputs[0]}
+                        and cons.get(sig.outputs[0]) == [mul]):
+                    chain_tensors += [sig.outputs[0], mul.outputs[0]]
+                    cur = mul.outputs[0]
+                    continue
+            break
+        if b_node is None or b_node.inputs[0] != cur:
+            continue
+        if (b_node.attrs.get("kernel") != (3, 3)
+                or b_node.attrs.get("stride") != (2, 2)
+                or b_node.attrs.get("groups", 1) != 1
+                or b_node.attrs.get("dilation", (1, 1)) != (1, 1)):
+            continue
+        epb = b_node.attrs.get("explicit_pad")
+        if (b_node.attrs.get("padding") == "EXPLICIT"
+                and epb is not None and tuple(epb)[:1] + tuple(epb)[2:3]
+                != (1, 1)):
+            continue
+
+        bb, h, w, ca = t.shape
+        wa = graph.tensors[a_node.inputs[1]]
+        oa, ci, _, _ = wa.shape              # OIHW
+        # stem: each original tap lands at parity offset (p, q) of the
+        # (ka+1)x(ka+1) stride-2 kernel; folded out-channel order is
+        # parity-major (p*2+q)*Oa + o (the stem_space_to_depth input
+        # convention)
+        wd = np.zeros((4, oa, ci, ka + 1, ka + 1), wa.data.dtype)
+        for p in (0, 1):
+            for q in (0, 1):
+                wd[p * 2 + q, :, :, p:p + ka, q:q + ka] = wa.data
+        wa.data = np.ascontiguousarray(
+            wd.reshape(4 * oa, ci, ka + 1, ka + 1))
+        wa.shape = wa.data.shape
+        if wa.channel_scales is not None:
+            wa.channel_scales = np.tile(
+                np.asarray(wa.channel_scales), 4)
+        if len(a_node.inputs) > 2:
+            bt = graph.tensors[a_node.inputs[2]]
+            bt.data = np.ascontiguousarray(np.tile(bt.data, 4))
+            bt.shape = bt.data.shape
+        a_node.attrs["kernel"] = (ka + 1, ka + 1)
+        a_node.attrs["stride"] = (2, 2)
+        a_node.attrs["padding"] = "EXPLICIT"
+        a_node.attrs["explicit_pad"] = (pa, pa, pa, pa)
+        # fold every tensor on the A->B chain
+        for nm in [t_name] + chain_tensors:
+            tt = graph.tensors[nm]
+            tt.shape = (bb, h // 2, w // 2, 4 * ca)
+
+        wb = graph.tensors[b_node.inputs[1]]
+        ob, cb, _, _ = wb.shape
+        assert cb == ca, (wb.shape, t.shape)
+        # downsample: original tap (ky, kx) of channel c comes from
+        # folded channel (p*2+q)*ca + c at folded tap (ku, kv) where
+        # ky = 2*ku + p - 1 (and same for kx); positions the 3x3
+        # window never reaches stay zero
+        wbd = np.zeros((ob, 4, ca, 2, 2), wb.data.dtype)
+        for p in (0, 1):
+            for q in (0, 1):
+                for ku in (0, 1):
+                    for kv in (0, 1):
+                        ky, kx = 2 * ku + p - 1, 2 * kv + q - 1
+                        if 0 <= ky < 3 and 0 <= kx < 3:
+                            wbd[:, p * 2 + q, :, ku, kv] = \
+                                wb.data[:, :, ky, kx]
+        wb.data = np.ascontiguousarray(wbd.reshape(ob, 4 * ca, 2, 2))
+        wb.shape = wb.data.shape
+        b_node.attrs["kernel"] = (2, 2)
+        b_node.attrs["stride"] = (1, 1)
+        b_node.attrs["padding"] = "EXPLICIT"
+        b_node.attrs["explicit_pad"] = (1, 0, 1, 0)
+        graph.validate()
+        return True
+    return False
+
+
 def split_detect_heads(graph: Graph, step: int = 85) -> List[List[str]]:
     """Split each detect-conv graph output (1x1, ``A*step`` channels)
     into ``A`` per-anchor convs of ``step`` channels — weight/bias row
