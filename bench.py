@@ -408,8 +408,9 @@ def main() -> None:
         # model FLOPs (2*MACs) at the measured rate vs chip peak for
         # the tier's MXU dtype (fast = bf16 convs; serving/exact =
         # int8 dots)
-        peak = _PEAK["bf16" if tier == "fast" else "int8"]
-        result["mfu"] = round(best_fps * macs * 2 / peak, 4)
+        basis = "bf16" if tier == "fast" else "int8"
+        result["mfu"] = round(best_fps * macs * 2 / _PEAK[basis], 4)
+        result["mfu_basis"] = basis
 
     # secondary driver-captured row: REAL calibrated weights (yolov5n).
     # No real yolov5s weights ship in-env (documented limitation), so

@@ -80,3 +80,27 @@ def test_shapes_and_attrs_after_fold():
     assert down.attrs["kernel"] == (2, 2)
     assert down.attrs["stride"] == (1, 1)
     assert down.attrs["explicit_pad"] == (1, 0, 1, 0)
+
+
+def test_same_padded_downsample_is_skipped():
+    # SAME on an even input resolves to pt=0 (bottom-heavy pad,
+    # ops/reference.py:_conv_pads) while the rewrite assumes the 3x3
+    # window starts one pixel above/left -> folding would shift every
+    # value by one pixel. The pass must skip it.
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64)))
+    assert stem_space_to_depth(g)
+    down = [n for n in g.nodes if n.op == "CONV2D"][1]
+    assert down.attrs["kernel"] == (3, 3) and down.attrs["stride"] == (2, 2)
+    down.attrs["padding"] = "SAME"
+    down.attrs.pop("explicit_pad", None)
+    assert not fold_stage2_downsample(g)
+
+
+def test_escaping_chain_tensor_blocks_fold():
+    # if the stem output (or a SiLU-chain tensor) is ALSO a graph
+    # output, folding would relayout data an external consumer sees
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64)))
+    assert stem_space_to_depth(g)
+    stem = next(n for n in g.nodes if n.op == "CONV2D")
+    g.outputs = list(g.outputs) + [stem.outputs[0]]
+    assert not fold_stage2_downsample(g)

@@ -84,3 +84,26 @@ def test_pad_composes_with_fpn_split(rng, monkeypatch):
         real = b.reshape(b.shape[:3] + (3, 128))[..., :85]
         np.testing.assert_array_equal(
             a, real.reshape(a.shape[:3] + (255,)))
+
+
+def test_topk_postprocess_consumes_padded_heads(rng):
+    """detect_postprocess_topk derives the per-anchor block from the
+    channel count (like decode_and_parse): padded 128-wide head groups
+    produce the same detections as the plain 85-wide ones."""
+    import jax.numpy as jnp
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(64, 64), w_scale=0.0005)
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    g0 = zoo.build_yolov5("n", cfg)
+    e0 = Engine(g0, EngineOptions(precision="fast",
+                                  quantize_outputs=False))
+    g1 = zoo.build_yolov5("n", cfg)
+    assert pad_detect_heads(g1) == 3
+    e1 = Engine(g1, EngineOptions(precision="fast",
+                                  quantize_outputs=False))
+    h0 = [jnp.asarray(v) for v in _heads(e0, x)]
+    h1 = [jnp.asarray(v) for v in _heads(e1, x)]
+    d0 = yolo.detect_postprocess_topk(h0, conf_thresh=0.0)
+    d1 = yolo.detect_postprocess_topk(h1, conf_thresh=0.0)
+    for fld in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(d0, fld)), np.asarray(getattr(d1, fld)))

@@ -469,10 +469,30 @@ def fold_stage2_downsample(graph: Graph) -> bool:
                 or b_node.attrs.get("groups", 1) != 1
                 or b_node.attrs.get("dilation", (1, 1)) != (1, 1)):
             continue
+        # Resolve convB's ACTUAL (pt, pl) the way the runtime does
+        # (ops/reference.py:_conv_pads): the rewrite below assumes the
+        # 3x3 window starts one pixel above/left of the output site.
+        # SAME on an even input gives pad_h=1 -> pt=0 (bottom-heavy),
+        # which would shift every value by one pixel — skip it.
+        pad_mode_b = b_node.attrs.get("padding")
         epb = b_node.attrs.get("explicit_pad")
-        if (b_node.attrs.get("padding") == "EXPLICIT"
-                and epb is not None and tuple(epb)[:1] + tuple(epb)[2:3]
-                != (1, 1)):
+        if pad_mode_b == "EXPLICIT" and epb is not None:
+            ptl_b = (epb[0], epb[2])
+        elif pad_mode_b == "SAME":
+            bt_out = graph.tensors[b_node.outputs[0]]
+            oh, ow = bt_out.shape[1], bt_out.shape[2]
+            ih, iw = t.shape[1], t.shape[2]
+            ptl_b = (max(0, ((oh - 1) * 2 + 3 - ih) // 2),
+                     max(0, ((ow - 1) * 2 + 3 - iw) // 2))
+        else:
+            ptl_b = (0, 0) if pad_mode_b == "VALID" else None
+        if ptl_b != (1, 1):
+            continue
+        # Tensors rewritten to the folded parity-major layout must not
+        # escape the graph: external consumers would silently see
+        # relaid-out data.
+        out_set = set(graph.outputs)
+        if t_name in out_set or any(nm in out_set for nm in chain_tensors):
             continue
 
         bb, h, w, ca = t.shape

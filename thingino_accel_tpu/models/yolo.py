@@ -281,8 +281,13 @@ def decode_and_parse(
         # per-anchor block from the channel count: 5+num_classes for
         # plain heads, the padded lane-aligned width for
         # ir.passes.pad_detect_heads heads (pad channels are zero
-        # weights — never read; the aligned reshape is a free bitcast)
-        assert ch % a == 0 and ch // a >= 5 + num_classes, (ch, a)
+        # weights — never read; the aligned reshape is a free bitcast).
+        # Padded widths are always lane multiples (128), so anything
+        # else with ch != a*(5+nc) is a num_classes mismatch — fail
+        # loudly rather than decode misaligned channel groups.
+        assert ch == a * (5 + num_classes) or (
+            ch % a == 0 and ch // a >= 5 + num_classes
+            and (ch // a) % 128 == 0), (ch, a, num_classes)
         x = feat.reshape(b, h, w, a, ch // a)
         x5 = x[..., 0:5].astype(jnp.float32)
         if sc is not None:
@@ -446,16 +451,25 @@ def detect_postprocess_topk(
     flats, confs, clss = [], [], []
     for i, feat in enumerate(feats):
         b, h, w, ch = feat.shape
-        x = feat.reshape(b, h * w * a, 5 + num_classes)
+        # derive the per-anchor block from the channel count (like
+        # decode_and_parse) so lane-padded heads (pad_detect_heads)
+        # decode correctly; pad channels past 5+num_classes are never
+        # read
+        assert ch == a * (5 + num_classes) or (
+            ch % a == 0 and ch // a >= 5 + num_classes
+            and (ch // a) % 128 == 0), (ch, a, num_classes)
+        x = feat.reshape(b, h * w * a, ch // a)
         # per-head None entries mean a float head (mixed int8/float
         # graphs, e.g. make_sharded_detector) -> scale 1
         sc = (jnp.float32(scales[i])
               if scales is not None and scales[i] is not None
               else jnp.float32(1))
         obj = jax.nn.sigmoid(x[..., 4].astype(jnp.float32) * sc)
-        best = jnp.max(x[..., 5:], axis=-1).astype(jnp.float32) * sc
+        best = jnp.max(x[..., 5:5 + num_classes],
+                       axis=-1).astype(jnp.float32) * sc
         confs.append(obj * jax.nn.sigmoid(best))
-        clss.append(jnp.argmax(x[..., 5:], axis=-1).astype(jnp.int32))
+        clss.append(jnp.argmax(x[..., 5:5 + num_classes],
+                               axis=-1).astype(jnp.int32))
         flats.append(x[..., :4])
     conf = jnp.concatenate(confs, axis=1)            # [B, N]
     cls = jnp.concatenate(clss, axis=1)
