@@ -369,3 +369,39 @@ def test_pipeline_abandoned_generator_releases_threads(mesh8):
         _time.sleep(0.1)
     assert threading.active_count() <= before, (
         threading.active_count(), before)
+
+
+def test_tp_forward_expected_collective_pattern():
+    """tp's positive collective proof (mirrors the dp/pp HLO proofs):
+    with conv weights sharded over output channels and activations
+    replicated over 'tp', every conv consuming a tp-sharded producer
+    must re-materialize full channels via an ALL-GATHER **on the
+    channel axis** whose replica groups span exactly the tp axis.
+    No reduce-scatter / collective-permute may appear (we shard O, not
+    I — there are no partial sums to combine), and the all-gathers must
+    be numerous (one per sharded-producer -> conv edge), not a single
+    degenerate gather at the output."""
+    import re
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from thingino_accel_tpu.parallel import make_sharded_forward
+
+    mesh = make_mesh(dp=1, tp=8)
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="float32",
+                                            in_hw=(32, 32)))
+    eng = Engine(g)
+    fn, sp = make_sharded_forward(eng, mesh)
+    x = {g.inputs[0]: jnp.zeros((8, 32, 32, 3), jnp.float32)}
+    hlo = fn.lower(sp, x).compile().as_text()
+
+    ags = [ln for ln in hlo.splitlines()
+           if re.search(r"= \S+ all-gather\(", ln)]
+    assert len(ags) >= 10, f"expected many channel all-gathers, got {len(ags)}"
+    for ln in ags:
+        # channel axis of NHWC / O of HWIO is dim 3 everywhere the
+        # engine materializes activations/weights
+        assert "dimensions={3}" in ln, ln
+        # groups span the whole tp axis (pure-tp mesh: one group of 8)
+        assert "replica_groups=[1,8]<=[8]" in ln, ln
+    assert not re.search(r"\breduce-scatter\b", hlo)
+    assert not re.search(r"\bcollective-permute\b", hlo)
