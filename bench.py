@@ -72,7 +72,7 @@ def _config_tag() -> str:
             "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
             "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
             "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD",
-            "TAT_S2D_DEEP")
+            "TAT_S2D_DEEP", "TAT_HEAD_SEM")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -188,6 +188,13 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
         # relayout copies (10.6 us/frame v5n; ir/passes.py docstring)
         from thingino_accel_tpu.ir.passes import pad_detect_heads
         pad_detect_heads(graph)
+    head_sem = False
+    if os.environ.get("TAT_HEAD_SEM", "0") != "0":
+        # permute head channels semantic-major/anchor-minor: decode
+        # consumes contiguous slices, no lane-splitting reshape, no
+        # full-head relayout copies (ir/passes.semantic_detect_heads)
+        from thingino_accel_tpu.ir.passes import semantic_detect_heads
+        head_sem = semantic_detect_heads(graph) > 0
     s2d = False
     if os.environ.get("TAT_BENCH_S2D", "1") != "0":
         # fixed-camera s2d ingest: stem rewritten to 3x3 s1 cin=12,
@@ -262,8 +269,14 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
             return dets.boxes, dets.scores, dets.classes, dets.valid
         # int8 heads decode directly (scales applied on the consumed
         # channels only) — one 1-byte HBM pass instead of f32 copies
-        boxes, scores, classes = yolo.decode_and_parse(
-            heads, scales=out_scales)
+        if head_sem:
+            boxes, scores, classes = yolo.decode_and_parse_semantic(
+                heads, scales=out_scales,
+                class_reduce=os.environ.get("TAT_HEAD_SEM_REDUCE",
+                                            "reshape"))
+        else:
+            boxes, scores, classes = yolo.decode_and_parse(
+                heads, scales=out_scales)
         dets = yolo.nms_batched(boxes, scores, classes, max_dets=100)
         return dets.boxes, dets.scores, dets.classes, dets.valid
 
@@ -422,7 +435,16 @@ def main() -> None:
     if (best_fps > 0 and os.environ.get("TAT_BENCH_SECOND", "1") != "0"
             and not os.environ.get("TAT_BENCH_MARS")
             and tier == "fast" and os.path.exists(v5n)):
+        # the secondary row runs its own measured-best config, not the
+        # main row's: deep s2d fold ON, fpn-split OFF (v5n round-5
+        # ladder: deep-only 8,443 > deep+split 8,404 > split-only
+        # 8,367 > plain 8,333 fps b128 — split helps v5s, hurts v5n's
+        # thin channels; docs/KERNELS.md round-5)
+        prev = {k: os.environ.get(k) for k in
+                ("TAT_BENCH_MARS", "TAT_S2D_DEEP", "TAT_FPN_SPLIT")}
         os.environ["TAT_BENCH_MARS"] = v5n
+        os.environ["TAT_S2D_DEEP"] = "1"
+        os.environ["TAT_FPN_SPLIT"] = ""
         try:
             fps2 = measure(best_batch or 128, size, iters)
             result["real_yolov5n_fps"] = round(fps2, 1)
@@ -430,7 +452,11 @@ def main() -> None:
         except Exception as e:
             print(f"# real-weight v5n row failed: {e}", file=sys.stderr)
         finally:
-            os.environ.pop("TAT_BENCH_MARS", None)
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     if best_fps > 0:
         _save_lkg(result)

@@ -253,6 +253,30 @@ def main() -> int:
             continue
         sources[sname] = np.asarray(
             Image.open(path).convert("RGB"), np.uint8)
+    # third box-carrying scene (round-5, VERDICT #6): a deterministic
+    # 2x2 composite mixing crops of the two populated sources — a
+    # genuinely multi-object crowded scene with guaranteed oracle
+    # boxes. camera_scene stays as the zero-box false-positive check.
+    if "test_detection" in sources and "grace_hopper" in sources:
+        td, gh = sources["test_detection"], sources["grace_hopper"]
+        th, tw = 320, 320
+        def tile(img, y0f, x0f, hf, wf):
+            h, w = img.shape[:2]
+            y0, x0 = int(y0f * h), int(x0f * w)
+            c = img[y0:y0 + int(hf * h), x0:x0 + int(wf * w)]
+            return np.asarray(Image.fromarray(c).resize(
+                (tw, th), Image.BILINEAR))
+        grid = np.concatenate([
+            np.concatenate([tile(td, 0.0, 0.0, 0.9, 0.55),
+                            tile(gh, 0.0, 0.1, 0.85, 0.85)], axis=1),
+            np.concatenate([tile(gh, 0.05, 0.0, 0.6, 0.99),
+                            tile(td, 0.1, 0.4, 0.85, 0.6)], axis=1),
+        ], axis=0)
+        new = {k: v for k, v in sources.items() if k != "camera_scene"}
+        new["composite_grid"] = np.ascontiguousarray(grid)
+        if "camera_scene" in sources:
+            new["camera_scene"] = sources["camera_scene"]
+        sources = new
     per_src = max(4, args.n_eval // max(1, len(sources)))
     evals, eval_src = [], []
     for si, (sname, src_img) in enumerate(sources.items()):

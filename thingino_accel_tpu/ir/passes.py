@@ -688,6 +688,58 @@ def pad_detect_heads(graph: Graph, step: int = 85,
     return n_padded
 
 
+def semantic_detect_heads(graph: Graph, step: int = 85) -> int:
+    """Permute each detect-conv graph output's channels from
+    anchor-major ``[anchor][x y w h obj cls...]`` to semantic-major /
+    anchor-minor ``[x(A), y(A), w(A), h(A), obj(A), cls0(A), ...]`` by
+    permuting the conv's weight rows (free at import time; bit-exact
+    per channel — nothing is recomputed, only reordered).
+
+    Motivation (measured, yolov5n@640 b128 v5e round-4 HLO): the
+    decode's lane-splitting ``(A, 85)`` reshape forces XLA to
+    materialize full-head relayout copies (`copy.122/124/128`,
+    ~15 us/frame). With anchor-minor channels the decode
+    (``models.yolo.decode_and_parse_semantic``) consumes CONTIGUOUS
+    channel slices — xy/wh/obj are ``feat[..., k*A:(k+1)*A]`` and the
+    class max/argmax is a fused elementwise chain over per-class
+    slices — so no cross-lane reshape of the full tensor exists in the
+    program. Alternative attacks on the same copies (pad to 128,
+    split into per-anchor convs, layout constraint) all measured
+    NEGATIVE (docs/KERNELS.md round-4 table); this one removes the
+    reshape instead of re-shaping its operands.
+
+    Returns the number of permuted head convs.
+    """
+    cons = graph.consumers()
+    n = 0
+    for out_name in list(graph.outputs):
+        node = next((m for m in graph.nodes if out_name in m.outputs),
+                    None)
+        out_t = graph.tensors[out_name]
+        if (node is None or node.op != "CONV2D"
+                or node.attrs.get("kernel") != (1, 1)
+                or len(out_t.shape) != 4 or out_t.shape[3] % step
+                or out_t.shape[3] == step
+                or cons.get(out_name)):   # packed tensor has consumers
+            continue
+        a = out_t.shape[3] // step
+        # perm[new] = old: new channel s*a + j <- old j*step + s
+        perm = np.arange(a * step).reshape(a, step).T.reshape(-1)
+        wt = graph.tensors[node.inputs[1]]
+        wt.data = np.ascontiguousarray(wt.data[perm])
+        if wt.channel_scales is not None:
+            wt.channel_scales = np.ascontiguousarray(
+                np.asarray(wt.channel_scales)[perm])
+        if len(node.inputs) > 2:
+            bt = graph.tensors[node.inputs[2]]
+            bt.data = np.ascontiguousarray(bt.data[perm])
+        node.attrs["head_semantic"] = True
+        n += 1
+    if n:
+        graph.validate()
+    return n
+
+
 def split_concat_convs(graph: Graph, mode: str = "upsample") -> int:
     """Split 1x1 float convs over channel concats into per-part dots.
 

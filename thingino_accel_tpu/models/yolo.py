@@ -366,6 +366,91 @@ def decode_and_parse_split(
             jnp.concatenate(all_cls, 1))
 
 
+def decode_and_parse_semantic(
+    feats: Sequence[jax.Array],     # per level [B,H,W,A*(5+NC)] permuted
+    anchors: np.ndarray = YOLOV5_ANCHORS,
+    strides: Sequence[int] = YOLOV5_STRIDES,
+    num_classes: int = 80,
+    scales: Optional[Sequence[float]] = None,
+    class_reduce: str = "reshape",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`decode_and_parse` for semantic-major / anchor-minor heads
+    (``ir.passes.semantic_detect_heads``): channel layout
+    ``[x(A), y(A), w(A), h(A), obj(A), cls0(A), cls1(A), ...]``.
+
+    Every consumed quantity is a CONTIGUOUS channel slice of width A,
+    and the class max/argmax is a fused compare/select chain over the
+    per-class slices — the program contains no lane-splitting
+    ``(A, 5+NC)`` reshape of the full head, hence none of the
+    whole-head relayout copies that reshape forces
+    (``copy.122/124/128``, ~15 us/frame at v5n@640 b128;
+    docs/KERNELS.md round-5). Values and output ordering are
+    bit-identical to :func:`decode_and_parse` on the unpermuted heads:
+    the permutation only renames channels, the chain keeps argmax's
+    first-maximum tie-break, and the box/conf arithmetic is the same
+    f32 expression tree."""
+    all_boxes, all_conf, all_cls = [], [], []
+    for i, feat in enumerate(feats):
+        b, h, w, ch = feat.shape
+        a = anchors.shape[1]
+        assert ch == a * (5 + num_classes), (ch, a, num_classes)
+        sc = (jnp.float32(scales[i])
+              if scales is not None and scales[i] is not None else None)
+
+        def grp(k):
+            return feat[..., k * a:(k + 1) * a]
+
+        def sig(k):
+            v = grp(k).astype(jnp.float32)
+            if sc is not None:
+                v = v * sc
+            return jax.nn.sigmoid(v)
+
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[..., None]
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[..., None]
+        st = jnp.float32(strides[i])
+        anc = np.asarray(anchors[i], np.float32)         # [A, 2]
+        xy_x = (sig(0) * 2.0 - 0.5 + gx) * st            # [B,H,W,A]
+        xy_y = (sig(1) * 2.0 - 0.5 + gy) * st
+        wh_w = jnp.square(sig(2) * 2.0) * anc[None, None, :, 0]
+        wh_h = jnp.square(sig(3) * 2.0) * anc[None, None, :, 1]
+        obj = sig(4)
+
+        # class max + first-max argmax (raw dtype: monotone under
+        # sc > 0). Two formulations, same values:
+        # - "reshape": view the class block as [..., NC, A] and reduce
+        #   over NC — a REDUCTION consumes the strided view without
+        #   materializing a relayout (unlike the packed decode's
+        #   elementwise (A, 85) reshape), and compiles compactly;
+        # - "chain": NC-step compare/select over contiguous A-slices —
+        #   zero reshapes of any kind, but the unrolled chain compiles
+        #   slowly on TPU at NC=80.
+        if class_reduce == "chain":
+            best = grp(5)
+            cls = jnp.zeros(best.shape, jnp.int32)
+            for k in range(1, num_classes):
+                s = grp(5 + k)
+                upd = s > best
+                best = jnp.where(upd, s, best)
+                cls = jnp.where(upd, jnp.int32(k), cls)
+        else:
+            cl = feat[..., 5 * a:].reshape(b, h, w, num_classes, a)
+            best = jnp.max(cl, axis=-2)
+            cls = jnp.argmax(cl, axis=-2).astype(jnp.int32)
+        best = best.astype(jnp.float32)
+        if sc is not None:
+            best = best * sc
+        conf = obj * jax.nn.sigmoid(best)
+
+        n = h * w * a
+        boxes = jnp.stack([xy_x, xy_y, wh_w, wh_h], axis=-1)
+        all_boxes.append(boxes.reshape(b, n, 4))
+        all_conf.append(conf.reshape(b, n))
+        all_cls.append(cls.reshape(b, n))
+    return (jnp.concatenate(all_boxes, 1), jnp.concatenate(all_conf, 1),
+            jnp.concatenate(all_cls, 1))
+
+
 def decode_anchor_free(
     box_feats: Sequence[jax.Array],   # per level [B, H, W, 4*reg_max]
     cls_feats: Sequence[jax.Array],   # per level [B, H, W, NC]

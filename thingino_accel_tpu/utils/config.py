@@ -84,6 +84,18 @@ _register("TAT_STEM_NOGROW", False, _bool,
           "seed convs (cin < 16); the convs it would grow into run on "
           "the folded pallas path instead, so the stage-exit f32 "
           "accumulator read+quantize happens once, on the stem output")
+_register("TAT_S2D_DEEP", False, _bool,
+          "bench/serving graphs: extend the s2d ingest fold one stage "
+          "deeper (stem emits 2x2 space-to-depth layout; the 3x3 s2 "
+          "downsample becomes 2x2 s1 at 4x contraction width). "
+          "Measured v5e b128: real-v5n 8,443 fps (best row, +1.8% "
+          "over plain); v5s slightly negative — bench.py's secondary "
+          "real-v5n row pins it ON regardless of the main config")
+_register("TAT_HEAD_SEM", False, _bool,
+          "permute detect-head channels semantic-major/anchor-minor "
+          "(ir/passes.semantic_detect_heads) and decode with "
+          "contiguous slices — removes the lane-splitting (A,85) "
+          "reshape relayout copies (~15 us/frame v5n@640 b128)")
 _register("TAT_QBF16_EXIT", False, _bool,
           "serving tier: bf16 stem-stage exits consumed in-kernel; "
           "default off (measured net-negative on v5e)")
