@@ -72,7 +72,7 @@ def _config_tag() -> str:
             "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
             "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
             "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD",
-            "TAT_S2D_DEEP", "TAT_HEAD_SEM")
+            "TAT_S2D_DEEP", "TAT_HEAD_SEM", "TAT_HEAD_MM")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -188,8 +188,12 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
         # relayout copies (10.6 us/frame v5n; ir/passes.py docstring)
         from thingino_accel_tpu.ir.passes import pad_detect_heads
         pad_detect_heads(graph)
+    # mm decode: no graph rewrite — decode-side restructuring only
+    # (narrow slices + masked native-layout class reduces; yolo.py
+    # decode_and_parse_mm). Mutually exclusive with TAT_HEAD_SEM.
+    head_mm = os.environ.get("TAT_HEAD_MM", "0") != "0"
     head_sem = False
-    if os.environ.get("TAT_HEAD_SEM", "0") != "0":
+    if not head_mm and os.environ.get("TAT_HEAD_SEM", "0") != "0":
         # permute head channels semantic-major/anchor-minor: decode
         # consumes contiguous slices, no lane-splitting reshape, no
         # full-head relayout copies (ir/passes.semantic_detect_heads)
@@ -269,7 +273,10 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
             return dets.boxes, dets.scores, dets.classes, dets.valid
         # int8 heads decode directly (scales applied on the consumed
         # channels only) — one 1-byte HBM pass instead of f32 copies
-        if head_sem:
+        if head_mm:
+            boxes, scores, classes = yolo.decode_and_parse_mm(
+                heads, scales=out_scales)
+        elif head_sem:
             boxes, scores, classes = yolo.decode_and_parse_semantic(
                 heads, scales=out_scales,
                 class_reduce=os.environ.get("TAT_HEAD_SEM_REDUCE",

@@ -451,6 +451,106 @@ def decode_and_parse_semantic(
             jnp.concatenate(all_cls, 1))
 
 
+def _masked_best_class(
+    feat: jax.Array, a: int, blk: int, num_classes: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-anchor class (max, argmax) over an UNRESHAPED head tensor
+    ``[B,H,W,A*blk]``: one variadic ``lax.reduce`` per anchor group over
+    the channel axis, with non-class / other-group channels masked to
+    -inf. The reduces are siblings over the same operand in its native
+    channel-minor layout — XLA fuses them into one multi-output pass, so
+    the head is read once and never relaid out. Tie-break matches
+    ``jnp.argmax`` (first maximum): the (max, min-index-on-ties) reducer
+    is associative and commutative, so any reduction order gives the
+    first-occurrence index. Returns ([B,H,W,A] best, [B,H,W,A] cls)."""
+    if feat.dtype == jnp.int8:
+        vals = feat.astype(jnp.int32)
+        ninf = jnp.int32(np.iinfo(np.int32).min)
+    else:
+        vals = feat.astype(jnp.float32)
+        ninf = jnp.float32(-np.inf)
+    ch = feat.shape[-1]
+    cidx = np.arange(ch)
+    grp_of = cidx // blk
+    is_cls = (cidx % blk) >= 5
+    local = np.where(is_cls, cidx - grp_of * blk - 5, 0)
+    idx_const = jnp.asarray(local, jnp.int32)
+
+    def amax2(x, y):
+        v1, i1 = x
+        v2, i2 = y
+        pick = (v1 > v2) | ((v1 == v2) & (i1 <= i2))
+        return (jnp.where(pick, v1, v2), jnp.where(pick, i1, i2))
+
+    bests, clss = [], []
+    for gi in range(a):
+        mask = jnp.asarray(is_cls & (grp_of == gi))
+        mvals = jnp.where(mask, vals, ninf)
+        best, am = jax.lax.reduce(
+            (mvals, jnp.broadcast_to(idx_const, mvals.shape)),
+            (ninf, jnp.int32(0)), amax2, (feat.ndim - 1,))
+        bests.append(best)
+        clss.append(am)
+    return jnp.stack(bests, axis=-1), jnp.stack(clss, axis=-1)
+
+
+def decode_and_parse_mm(
+    feats: Sequence[jax.Array],
+    anchors: np.ndarray = YOLOV5_ANCHORS,
+    strides: Sequence[int] = YOLOV5_STRIDES,
+    num_classes: int = 80,
+    scales: Optional[Sequence[float]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`decode_and_parse` without the lane-splitting ``(A, 5+NC)``
+    reshape of the full head — the reshape is what forces XLA to relay
+    out the whole head tensor (copy.122/124, ~12.6 us/frame at v5n@640
+    b128; docs/KERNELS.md round-5). Two structural changes:
+
+    - box/obj channels come from three CONTIGUOUS 5-wide slices
+      (``feat[..., g*blk : g*blk+5]``) — a slice's relayout cost is
+      proportional to its small OUTPUT, not to the 255-channel head;
+    - the class max/argmax is :func:`_masked_best_class`: one masked
+      variadic reduce per anchor group over the head in its NATIVE
+      layout (read once, fused siblings, nothing written back at full
+      size).
+
+    Outputs are bit-identical to :func:`decode_and_parse`: the box/conf
+    arithmetic is the same f32 expression tree and the reduce keeps
+    ``jnp.argmax``'s first-maximum tie-break."""
+    all_boxes, all_conf, all_cls = [], [], []
+    for i, feat in enumerate(feats):
+        b, h, w, ch = feat.shape
+        a = anchors.shape[1]
+        assert ch == a * (5 + num_classes), (ch, a, num_classes)
+        blk = 5 + num_classes
+        sc = (jnp.float32(scales[i])
+              if scales is not None and scales[i] is not None else None)
+        x5 = jnp.stack(
+            [feat[..., g * blk:g * blk + 5] for g in range(a)], axis=3)
+        x5 = x5.astype(jnp.float32)
+        if sc is not None:
+            x5 = x5 * sc
+        sig5 = jax.nn.sigmoid(x5)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]
+        xy = (sig5[..., 0:2] * 2.0 - 0.5 + grid) * jnp.float32(strides[i])
+        wh = jnp.square(sig5[..., 2:4] * 2.0) * \
+            jnp.asarray(anchors[i], jnp.float32)[None, None, :, :]
+        obj = sig5[..., 4]
+        best_logit, cls = _masked_best_class(feat, a, blk, num_classes)
+        best_logit = best_logit.astype(jnp.float32)
+        if sc is not None:
+            best_logit = best_logit * sc
+        conf = obj * jax.nn.sigmoid(best_logit)
+        n = h * w * a
+        all_boxes.append(jnp.concatenate([xy, wh], -1).reshape(b, n, 4))
+        all_conf.append(conf.reshape(b, n))
+        all_cls.append(cls.reshape(b, n))
+    return (jnp.concatenate(all_boxes, 1), jnp.concatenate(all_conf, 1),
+            jnp.concatenate(all_cls, 1))
+
+
 def decode_anchor_free(
     box_feats: Sequence[jax.Array],   # per level [B, H, W, 4*reg_max]
     cls_feats: Sequence[jax.Array],   # per level [B, H, W, NC]

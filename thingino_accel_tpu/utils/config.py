@@ -95,7 +95,17 @@ _register("TAT_HEAD_SEM", False, _bool,
           "permute detect-head channels semantic-major/anchor-minor "
           "(ir/passes.semantic_detect_heads) and decode with "
           "contiguous slices — removes the lane-splitting (A,85) "
-          "reshape relayout copies (~15 us/frame v5n@640 b128)")
+          "reshape relayout copies (~15 us/frame v5n@640 b128). "
+          "Measured NET-NEGATIVE on v5e b128 (v5n 7,566 vs 8,443; "
+          "v5s 4,088 vs 4,422): the A-wide slice decode re-introduces "
+          "more relayout than the copies it deletes — kept as a "
+          "documented negative (docs/KERNELS.md round-5)")
+_register("TAT_HEAD_MM", False, _bool,
+          "decode heads without the lane-splitting (A,85) reshape: "
+          "narrow 5-wide slices for box/obj + one masked variadic "
+          "(max,argmax) reduce per anchor over the NATIVE head layout "
+          "(yolo.decode_and_parse_mm) — no graph rewrite, bit-identical "
+          "outputs; targets the full-head relayout copies")
 _register("TAT_QBF16_EXIT", False, _bool,
           "serving tier: bf16 stem-stage exits consumed in-kernel; "
           "default off (measured net-negative on v5e)")
