@@ -72,7 +72,7 @@ def _config_tag() -> str:
             "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
             "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
             "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD",
-            "TAT_S2D_DEEP", "TAT_HEAD_SEM", "TAT_HEAD_MM")
+            "TAT_S2D_DEEP", "TAT_HEAD_SEM", "TAT_HEAD_MM", "TAT_NMS_POOL")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -284,7 +284,13 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
         else:
             boxes, scores, classes = yolo.decode_and_parse(
                 heads, scales=out_scales)
-        dets = yolo.nms_batched(boxes, scores, classes, max_dets=100)
+        # TAT_NMS_POOL: suppression-pool depth (default 256). The pool
+        # only changes results when a frame carries more than POOL
+        # above-threshold candidates (crowded-scene semantics documented
+        # in nms_fixed); the knob exists to price the O(K^2) tail.
+        dets = yolo.nms_batched(
+            boxes, scores, classes, max_dets=100,
+            pre_nms=int(os.environ.get("TAT_NMS_POOL", "256")))
         return dets.boxes, dets.scores, dets.classes, dets.valid
 
     # frames land on device in the ingest layout (batch-minor: the
