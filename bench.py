@@ -52,6 +52,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 
 def _enable_compile_cache() -> None:
@@ -103,10 +104,31 @@ def _save_lkg(result: dict) -> None:
         print(f"# could not persist LKG: {e}", file=sys.stderr)
 
 
+def _lkg_lookup(store: dict) -> Optional[dict]:
+    """Tag-tolerant LKG lookup: the knob list GROWS across rounds, so a
+    row recorded under an older (shorter) tag must still match when
+    every shared knob agrees and every knob missing from the old tag is
+    at its default ('') in the current one — otherwise adding a knob
+    silently disables the stale-result fallback for all prior rows."""
+    tag = _config_tag()
+    if tag in store:
+        return store[tag]
+    want = dict(kv.split("=", 1) for kv in tag.split("|"))
+    best = None
+    for key, rec in store.items():
+        have = dict(kv.split("=", 1) for kv in key.split("|") if "=" in kv)
+        if all(want.get(k, "") == have.get(k, "")
+               for k in set(want) | set(have)):
+            if best is None or (rec.get("recorded_at", "")
+                                > best.get("recorded_at", "")):
+                best = rec
+    return best
+
+
 def _emit_lkg(reason: str) -> bool:
     """Print the last-known-good result for THIS bench config (marked
     stale). True if emitted."""
-    rec = _load_lkg_all().get(_config_tag())
+    rec = _lkg_lookup(_load_lkg_all())
     if not rec:
         print("# no LKG for this bench config", file=sys.stderr)
         return False

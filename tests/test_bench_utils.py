@@ -73,3 +73,24 @@ def test_lkg_migrates_legacy_single_record(tmp_path, monkeypatch):
     (tmp_path / "lkg.json").write_text(json.dumps(legacy))
     store = bench._load_lkg_all()
     assert store[bench._config_tag()]["value"] == 42.0
+
+
+def test_lkg_lookup_tolerates_grown_knob_list(monkeypatch):
+    # a row recorded before TAT_NMS_POOL/TAT_HEAD_MM existed must still
+    # match the current (longer) tag when every shared knob agrees
+    for k in ("TAT_BENCH_BATCH", "TAT_CONV_MERGE", "TAT_NMS_POOL",
+              "TAT_HEAD_MM"):
+        monkeypatch.delenv(k, raising=False)
+    old_key = ("TAT_BENCH_BATCH=|TAT_BENCH_MODEL=|TAT_BENCH_TIER=|"
+               "TAT_BENCH_EXACT=|TAT_BENCH_MARS=|TAT_BENCH_S2D=|"
+               "TAT_CONV_MERGE=|TAT_FPN_SPLIT=|TAT_STEM_NOGROW=|"
+               "TAT_BENCH_POST=|TAT_BENCH_F32ACC=")
+    store = {old_key: {"metric": "m", "value": 42.0}}
+    assert bench._lkg_lookup(store) == {"metric": "m", "value": 42.0}
+    # but NOT when a shared knob differs ...
+    monkeypatch.setenv("TAT_CONV_MERGE", "1")
+    assert bench._lkg_lookup(store) is None
+    monkeypatch.delenv("TAT_CONV_MERGE")
+    # ... or when a NEW knob is set away from its default
+    monkeypatch.setenv("TAT_NMS_POOL", "128")
+    assert bench._lkg_lookup(store) is None
