@@ -73,7 +73,8 @@ def _config_tag() -> str:
             "TAT_CONV_MERGE", "TAT_FPN_SPLIT", "TAT_STEM_NOGROW",
             "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
             "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD",
-            "TAT_S2D_DEEP", "TAT_HEAD_SEM", "TAT_HEAD_MM", "TAT_NMS_POOL")
+            "TAT_S2D_DEEP", "TAT_HEAD_SEM", "TAT_HEAD_MM", "TAT_NMS_POOL",
+            "TAT_DEFER_CLS", "TAT_TOPK_GROUP")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -304,15 +305,26 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
                 class_reduce=os.environ.get("TAT_HEAD_SEM_REDUCE",
                                             "reshape"))
         else:
+            # TAT_DEFER_CLS: skip the full-N class argmax — the third
+            # return becomes the raw class-logit tensor and the argmax
+            # runs on the pre-NMS survivors only (exact: argmax is
+            # scale-invariant and every read candidate survives top-k)
+            defer = os.environ.get("TAT_DEFER_CLS", "0") != "0"
             boxes, scores, classes = yolo.decode_and_parse(
-                heads, scales=out_scales)
+                heads, scales=out_scales, defer_classes=defer)
         # TAT_NMS_POOL: suppression-pool depth (default 256). The pool
         # only changes results when a frame carries more than POOL
         # above-threshold candidates (crowded-scene semantics documented
         # in nms_fixed); the knob exists to price the O(K^2) tail.
+        # TAT_TOPK_GROUP: group-max prefilter width (default 8; exact
+        # for any group, see top_k_grouped).
         dets = yolo.nms_batched(
             boxes, scores, classes, max_dets=100,
-            pre_nms=int(os.environ.get("TAT_NMS_POOL", "256")))
+            pre_nms=int(os.environ.get("TAT_NMS_POOL", "256")),
+            topk_group=int(os.environ.get("TAT_TOPK_GROUP", "8")),
+            classes_are_logits=(not head_mm and not head_sem
+                                and os.environ.get("TAT_DEFER_CLS", "0")
+                                != "0"))
         return dets.boxes, dets.scores, dets.classes, dets.valid
 
     # frames land on device in the ingest layout (batch-minor: the

@@ -803,6 +803,7 @@ def nms_fixed(
     suppress_impl: str = "reduce",
     unroll: int = 1,
     classes_are_logits: bool = False,
+    topk_group: int = 8,
 ) -> Detections:
     """Greedy class-aware NMS with static shapes (single image).
 
@@ -831,7 +832,7 @@ def nms_fixed(
     """
     k = min(max(pre_nms, max_dets), scores.shape[0])
     masked = jnp.where(scores >= conf_thresh, scores, 0.0)
-    top_scores, idx = top_k_grouped(masked, k)
+    top_scores, idx = top_k_grouped(masked, k, group=topk_group)
     top_boxes = _xywh_to_xyxy(boxes_xywh[idx])
     if classes_are_logits:
         top_classes = jnp.argmax(classes[idx], axis=-1).astype(jnp.int32)
