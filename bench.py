@@ -312,15 +312,18 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
             defer = os.environ.get("TAT_DEFER_CLS", "0") != "0"
             boxes, scores, classes = yolo.decode_and_parse(
                 heads, scales=out_scales, defer_classes=defer)
-        # TAT_NMS_POOL: suppression-pool depth (default 256). The pool
-        # only changes results when a frame carries more than POOL
-        # above-threshold candidates (crowded-scene semantics documented
-        # in nms_fixed); the knob exists to price the O(K^2) tail.
+        # TAT_NMS_POOL: suppression-pool depth. DEFAULT 128 since round
+        # 5: detection-set parity with pool 512 PROVEN on the accuracy
+        # eval's real scenes at conf 0.25 AND 0.10
+        # (examples/nms_pool_parity.py; pool 100 fails the proof), and
+        # the O(K^2) suppression tail shrinks +7.7% e2e on real-v5n
+        # (8,443 -> 9,094 fps b128). The pool only changes results when
+        # a frame carries more above-threshold candidates than POOL.
         # TAT_TOPK_GROUP: group-max prefilter width (default 8; exact
-        # for any group, see top_k_grouped).
+        # for any group; 16 measured slower).
         dets = yolo.nms_batched(
             boxes, scores, classes, max_dets=100,
-            pre_nms=int(os.environ.get("TAT_NMS_POOL", "256")),
+            pre_nms=int(os.environ.get("TAT_NMS_POOL", "128")),
             topk_group=int(os.environ.get("TAT_TOPK_GROUP", "8")),
             classes_are_logits=(not head_mm and not head_sem
                                 and os.environ.get("TAT_DEFER_CLS", "0")
