@@ -490,23 +490,46 @@ def main() -> None:
         # ladder: deep-only 8,443 > deep+split 8,404 > split-only
         # 8,367 > plain 8,333 fps b128 — split helps v5s, hurts v5n's
         # thin channels; docs/KERNELS.md round-5)
-        prev = {k: os.environ.get(k) for k in
-                ("TAT_BENCH_MARS", "TAT_S2D_DEEP", "TAT_FPN_SPLIT")}
-        os.environ["TAT_BENCH_MARS"] = v5n
-        os.environ["TAT_S2D_DEEP"] = "1"
-        os.environ["TAT_FPN_SPLIT"] = ""
+        # subprocess isolation: measured +3% vs in-process (9,094 vs
+        # 8,798 fps) — the main row's engine leaves HBM fragmented and
+        # executables resident. Compile cache makes the re-init cheap.
+        # Falls back to in-process on any subprocess failure.
+        import subprocess
+        fps2 = None
+        env = dict(os.environ, TAT_BENCH_MARS=v5n, TAT_S2D_DEEP="1",
+                   TAT_FPN_SPLIT="", TAT_BENCH_SECOND="0")
         try:
-            fps2 = measure(best_batch or 128, size, iters)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, timeout=1800, env=env, text=True)
+            lines = [ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")]
+            if r.returncode == 0 and lines:
+                rec = json.loads(lines[-1])
+                if not rec.get("stale"):
+                    fps2 = float(rec["value"])
+        except Exception as e:
+            print(f"# v5n subprocess row failed: {e}", file=sys.stderr)
+        if fps2 is None:
+            prev = {k: os.environ.get(k) for k in
+                    ("TAT_BENCH_MARS", "TAT_S2D_DEEP", "TAT_FPN_SPLIT")}
+            os.environ["TAT_BENCH_MARS"] = v5n
+            os.environ["TAT_S2D_DEEP"] = "1"
+            os.environ["TAT_FPN_SPLIT"] = ""
+            try:
+                fps2 = measure(best_batch or 128, size, iters)
+            except Exception as e:
+                print(f"# real-weight v5n row failed: {e}",
+                      file=sys.stderr)
+            finally:
+                for k, v in prev.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+        if fps2 is not None:
             result["real_yolov5n_fps"] = round(fps2, 1)
             result["real_yolov5n_vs_baseline"] = round(fps2 / 10000.0, 4)
-        except Exception as e:
-            print(f"# real-weight v5n row failed: {e}", file=sys.stderr)
-        finally:
-            for k, v in prev.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
 
     if best_fps > 0:
         _save_lkg(result)
