@@ -360,29 +360,53 @@ def measure(batch: int, size: str, iters: int) -> float:
     import jax
     pipeline, frames = build_pipeline(batch, size)
     # TAT_BENCH_CHAIN=N: one device program processes N DISTINCT
-    # microbatches of `batch` frames via lax.scan — honest e2e serving
-    # semantics (N*batch frames in, N*batch detection sets out) that
-    # amortizes the per-program dispatch gap (wall - program time,
-    # ~7 us/frame at b128 through the tunneled runtime).
+    # microbatches of `batch` frames — honest e2e serving semantics
+    # (N*batch frames in, N*batch detection sets out) that amortizes
+    # the per-program dispatch gap (wall - program time, ~7 us/frame at
+    # b128 through the tunneled runtime). Two modes:
+    #   inline (default): N ingested buffers as jit args — inlined
+    #     body copies, input layouts PRESERVED, compile ~N x body;
+    #   scan: lax.scan over stacked frames — one body compile, but
+    #     stacking drops the ingest layout and the in-scan relayout
+    #     measured -2.4..-4% (v5n 8,727/8,878 at chain 2/4 vs 9,094
+    #     unchained); kept as the documented negative.
     chain = int(os.environ.get("TAT_BENCH_CHAIN", "1"))
-    if chain > 1:
+    if chain > 1 and os.environ.get("TAT_BENCH_CHAIN_MODE",
+                                    "inline") == "scan":
         stacked = jax.numpy.stack([frames] * chain)
 
         @jax.jit
-        def chained(xs):
+        def chained_scan(xs):
             return jax.lax.scan(lambda c, x: (c, pipeline(x)),
                                 0, xs)[1]
 
-        run, feed, per_call = chained, stacked, batch * chain
+        run, feed, per_call = chained_scan, (stacked,), batch * chain
+    elif chain > 1:
+        import numpy as np
+        from thingino_accel_tpu.runtime.ingest import ingest as _ingest
+        bufs = [frames]
+        host = np.asarray(frames)
+        rng = np.random.default_rng(1)
+        for _ in range(chain - 1):
+            # distinct data per microbatch (prevents any cross-step
+            # CSE/hoisting), same ingest layout as the primary buffer
+            perm = rng.permutation(host.shape[0])
+            bufs.append(_ingest(np.ascontiguousarray(host[perm])))
+
+        @jax.jit
+        def chained_inline(*xs):
+            return tuple(pipeline(x) for x in xs)
+
+        run, feed, per_call = chained_inline, tuple(bufs), batch * chain
     else:
-        run, feed, per_call = pipeline, frames, batch
-    out = run(feed)                 # compile + warmup
+        run, feed, per_call = pipeline, (frames,), batch
+    out = run(*feed)                # compile + warmup
     jax.block_until_ready(out)
-    out = run(feed)
+    out = run(*feed)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run(feed)
+        out = run(*feed)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return per_call * iters / dt
@@ -477,8 +501,9 @@ def main() -> None:
     if tier != "fast":
         model_tag += f"[{tier}]"
     chain = int(os.environ.get("TAT_BENCH_CHAIN", "1"))
-    batch_tag = (f"{chain}x{best_batch} scan-chained" if chain > 1
-                 else str(best_batch))
+    batch_tag = (f"{chain}x{best_batch} "
+                 f"{os.environ.get('TAT_BENCH_CHAIN_MODE', 'inline')}"
+                 "-chained" if chain > 1 else str(best_batch))
     result = {
         "metric": f"{model_tag}-int8@640 e2e frames/sec/chip "
                   f"(decode+NMS incl., batch {batch_tag})",
