@@ -31,6 +31,18 @@ Env knobs:
                     ``"stale": true`` and its original timestamp — a
                     silent rc=124 or a 0.0 are both worse than an
                     honestly-labelled cached number. 0 disables waiting.
+  TAT_BENCH_CHAIN   N distinct microbatches per device program (default
+                    4 when run as a script; measure() alone defaults 1).
+                    Honest serving semantics — N*batch frames in,
+                    N*batch detection sets out — that amortizes the
+                    per-dispatch gap through the tunneled runtime.
+                    Ladder (KERNELS.md round-5): v5n 9,094 (1) ->
+                    9,433 (2) -> 9,620.7 (4) -> 9,497/9,595 (6/8);
+                    v5s 4,712.8 (1) -> 4,804.0 (4) -> 4,728.6 (8).
+  TAT_BENCH_CHAIN_MODE  "inline" (default; N jit args, ingest layouts
+                    preserved) | "scan" (lax.scan; one body compile but
+                    the stacked feed drops the ingest layout: -2..-4%,
+                    kept as the documented negative)
   TAT_CONV_MERGE    fast tier: merge sibling convs (see utils/config.py)
   TAT_FPN_SPLIT     fast tier: split 1x1-over-concat convs; upsampled
                     parts run at low resolution. DEFAULT ON
@@ -454,6 +466,13 @@ _PEAK = {"bf16": 197e12, "int8": 394e12}
 
 
 def main() -> None:
+    # default the chain depth EXPLICITLY (before any _config_tag use)
+    # so the LKG tag always records what was measured: 4 distinct
+    # microbatches per device program — the measured-best dispatch
+    # amortization (v5n 9,094 -> 9,620.7 fps, v5s 4,712.8 -> 4,804.0;
+    # chain 6/8 plateau at 9,497/9,595 — docs/KERNELS.md round-5
+    # chain ladder). TAT_BENCH_CHAIN=1 restores single-dispatch.
+    os.environ.setdefault("TAT_BENCH_CHAIN", "4")
     if not _wait_for_backend():
         if _emit_lkg("backend unavailable at bench time"):
             return
