@@ -368,23 +368,27 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
     return pipeline, frames
 
 
-def measure(batch: int, size: str, iters: int) -> float:
+def build_chained(pipeline, frames, batch: int, chain: int, mode: str):
+    """Wrap ``pipeline`` so one device program processes ``chain``
+    DISTINCT microbatches of ``batch`` frames — honest e2e serving
+    semantics (N*batch frames in, N*batch detection sets out) that
+    amortizes the per-program dispatch gap (wall - program time,
+    ~6-7 us/frame at b128 through the tunneled runtime). Two modes:
+
+    - inline (default): N ingested buffers as jit args — inlined body
+      copies, input layouts PRESERVED, compile ~N x body. Measured
+      single-peaked at chain=4 (v5n 9,094 -> 9,620.7 fps);
+    - scan: lax.scan over stacked frames — one body compile, but
+      stacking drops the ingest layout and the in-scan relayout
+      measured -2.4..-4% (v5n 8,727/8,878 at chain 2/4 vs 9,094
+      unchained); kept as the documented negative.
+
+    Returns ``(run, feed, frames_per_call)``. Per-microbatch outputs
+    are exactly ``pipeline(buf_i)`` (tested on CPU in
+    tests/test_bench_utils.py).
+    """
     import jax
-    pipeline, frames = build_pipeline(batch, size)
-    # TAT_BENCH_CHAIN=N: one device program processes N DISTINCT
-    # microbatches of `batch` frames — honest e2e serving semantics
-    # (N*batch frames in, N*batch detection sets out) that amortizes
-    # the per-program dispatch gap (wall - program time, ~7 us/frame at
-    # b128 through the tunneled runtime). Two modes:
-    #   inline (default): N ingested buffers as jit args — inlined
-    #     body copies, input layouts PRESERVED, compile ~N x body;
-    #   scan: lax.scan over stacked frames — one body compile, but
-    #     stacking drops the ingest layout and the in-scan relayout
-    #     measured -2.4..-4% (v5n 8,727/8,878 at chain 2/4 vs 9,094
-    #     unchained); kept as the documented negative.
-    chain = int(os.environ.get("TAT_BENCH_CHAIN", "1"))
-    if chain > 1 and os.environ.get("TAT_BENCH_CHAIN_MODE",
-                                    "inline") == "scan":
+    if chain > 1 and mode == "scan":
         stacked = jax.numpy.stack([frames] * chain)
 
         @jax.jit
@@ -392,8 +396,8 @@ def measure(batch: int, size: str, iters: int) -> float:
             return jax.lax.scan(lambda c, x: (c, pipeline(x)),
                                 0, xs)[1]
 
-        run, feed, per_call = chained_scan, (stacked,), batch * chain
-    elif chain > 1:
+        return chained_scan, (stacked,), batch * chain
+    if chain > 1:
         import numpy as np
         from thingino_accel_tpu.runtime.ingest import ingest as _ingest
         bufs = [frames]
@@ -409,9 +413,17 @@ def measure(batch: int, size: str, iters: int) -> float:
         def chained_inline(*xs):
             return tuple(pipeline(x) for x in xs)
 
-        run, feed, per_call = chained_inline, tuple(bufs), batch * chain
-    else:
-        run, feed, per_call = pipeline, (frames,), batch
+        return chained_inline, tuple(bufs), batch * chain
+    return pipeline, (frames,), batch
+
+
+def measure(batch: int, size: str, iters: int) -> float:
+    import jax
+    pipeline, frames = build_pipeline(batch, size)
+    run, feed, per_call = build_chained(
+        pipeline, frames, batch,
+        int(os.environ.get("TAT_BENCH_CHAIN", "1")),
+        os.environ.get("TAT_BENCH_CHAIN_MODE", "inline"))
     out = run(*feed)                # compile + warmup
     jax.block_until_ready(out)
     out = run(*feed)

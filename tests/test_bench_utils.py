@@ -94,3 +94,45 @@ def test_lkg_lookup_tolerates_grown_knob_list(monkeypatch):
     # ... or when a NEW knob is set away from its default
     monkeypatch.setenv("TAT_NMS_POOL", "128")
     assert bench._lkg_lookup(store) is None
+
+
+def test_build_chained_inline_per_microbatch_equivalence():
+    """The inline chain's per-microbatch outputs are exactly
+    pipeline(buf_i): one device program, N distinct buffers in, N
+    results out (the semantics behind the TAT_BENCH_CHAIN=4 default)."""
+    import jax
+    import jax.numpy as jnp
+    from thingino_accel_tpu.runtime.ingest import ingest
+
+    @jax.jit
+    def pipeline(x):
+        # stand-in with per-frame structure (order-sensitive in B)
+        return (x.astype(jnp.float32) ** 2).sum(axis=(1, 2, 3)) \
+            + jnp.arange(x.shape[0], dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    host = rng.integers(0, 256, (6, 8, 8, 3), dtype=np.uint8)
+    frames = ingest(host)
+    run, feed, per_call = bench.build_chained(
+        pipeline, frames, batch=6, chain=3, mode="inline")
+    assert per_call == 18 and len(feed) == 3
+    outs = run(*feed)
+    assert len(outs) == 3
+    for buf, out in zip(feed, outs):
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(pipeline(buf)), rtol=1e-6)
+    # microbatches are DISTINCT data (no cross-step CSE possible) but
+    # the same multiset of frames (permutations of the primary buffer)
+    a0, a1 = np.asarray(feed[0]), np.asarray(feed[1])
+    assert not np.array_equal(a0, a1)
+    assert np.array_equal(np.sort(a0.reshape(6, -1), axis=0),
+                          np.sort(a1.reshape(6, -1), axis=0))
+
+
+def test_build_chained_chain1_passthrough():
+    import jax.numpy as jnp
+    pipeline = lambda x: x  # noqa: E731
+    frames = jnp.zeros((4, 2, 2, 3), jnp.uint8)
+    run, feed, per_call = bench.build_chained(
+        pipeline, frames, batch=4, chain=1, mode="inline")
+    assert run is pipeline and per_call == 4 and feed == (frames,)
