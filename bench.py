@@ -47,7 +47,10 @@ Env knobs:
   TAT_FPN_SPLIT     fast tier: split 1x1-over-concat convs; upsampled
                     parts run at low resolution. DEFAULT ON
                     (utils/config.py; +2.9% measured: 4,515.4 vs
-                    4,386.7 fps at b128). "" to disable.
+                    4,386.7 fps at b128). "wide" also splits concats
+                    whose every part is >= 128 channels (SPPF/PAN);
+                    "all" every eligible concat (measured -4.7%);
+                    "" to disable.
 
 Diagnostic knobs (examples/feed_bisect.py — isolate which feed-pipeline
 element triggers the opaque execute-time INVALID_ARGUMENT on some

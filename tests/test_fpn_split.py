@@ -113,3 +113,29 @@ def test_upsample_commutation_exact(rng):
         del os.environ["TAT_FPN_SPLIT"]
     for k in base:
         np.testing.assert_array_equal(base[k], split[k])
+
+
+def test_wide_mode_structural_and_numeric(rng, monkeypatch):
+    """mode='wide' = the upsample splits PLUS concats whose every part
+    is >= 128 channels (lane-aligned: no MXU padding waste, unlike the
+    narrow C3 halves that made mode='all' measure -4.7% on v5e).
+    Structurally between 'upsample' and 'all' on v5s shapes; numerics
+    within the reassociation bound."""
+    cfg = zoo.ZooConfig(dtype="int8", in_hw=(64, 64))
+    counts = {}
+    for mode in ("upsample", "wide", "all"):
+        gd = passes.dequantize_graph(zoo.build_yolov5("s", cfg))
+        counts[mode] = passes.split_concat_convs(gd, mode=mode)
+        gd.validate()
+    assert counts["upsample"] < counts["wide"] <= counts["all"], counts
+
+    g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64),
+                                            w_scale=0.0005))
+    x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
+    monkeypatch.setenv("TAT_FPN_SPLIT", "")
+    base = Engine(g, EngineOptions(precision="fast")).run_np(x)
+    monkeypatch.setenv("TAT_FPN_SPLIT", "wide")
+    split = Engine(g, EngineOptions(precision="fast")).run_np(x)
+    for k in base:
+        d = np.abs(base[k].astype(np.int32) - split[k].astype(np.int32))
+        assert d.max() <= 2, (k, d.max())

@@ -829,6 +829,14 @@ def split_concat_convs(graph: Graph, mode: str = "upsample") -> int:
                 plan.append((i, None))
             if mode == "upsample" and not any_up:
                 ok = False
+            elif mode == "wide" and not any_up and not all(
+                    graph.tensors[i].shape[3] >= 128 for i in src.inputs):
+                # "wide": the upsample splits PLUS concats whose every
+                # part is >= the 128-lane width — splitting those costs
+                # no MXU lane padding (unlike the narrow C3 halves that
+                # made mode="all" measure -4.7%), and the concat buffer
+                # (SPPF pyramid, FPN down-path) is never materialized
+                ok = False
         if not ok:
             new_nodes.append(node)
             continue

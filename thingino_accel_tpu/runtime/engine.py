@@ -60,7 +60,7 @@ class EngineOptions(ExecOptions):
     # fast-tier graph rewrites; None = the TAT_CONV_MERGE /
     # TAT_FPN_SPLIT env defaults (utils/config.py)
     conv_merge: Optional[bool] = None
-    fpn_split: Optional[str] = None   # "" | "1"/"upsample" | "all"
+    fpn_split: Optional[str] = None   # "" | "1"/"upsample" | "wide" | "all"
 
 
 class Engine:
@@ -89,7 +89,8 @@ class Engine:
                 fpn_split = config.get("TAT_FPN_SPLIT")
             if fpn_split:
                 passes.split_concat_convs(
-                    graph, mode="all" if fpn_split == "all" else "upsample")
+                    graph, mode=(fpn_split if fpn_split in ("all", "wide")
+                                 else "upsample"))
         elif self.options.precision == "serving" and \
                 self.options.mode == "full":
             graph = passes.fuse_act_into_conv(graph)

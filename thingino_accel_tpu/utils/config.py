@@ -75,7 +75,9 @@ _register("TAT_FPN_SPLIT", "1", str,
           "fast tier: split 1x1 convs over channel concats into "
           "per-part dots (upsampled parts computed at low res, the "
           "broadcast fuses into the add). '1' = upsample-concats only "
-          "(FPN nodes); 'all' = every 1x1-over-concat; '' = off. "
+          "(FPN nodes); 'wide' = those plus concats with every part "
+          ">= 128 channels (SPPF/PAN, lane-aligned splits); 'all' = "
+          "every 1x1-over-concat (measured -4.7%); '' = off. "
           "DEFAULT ON since 2026-08-19: +2.9% e2e measured on v5e "
           "(4,515.4 vs 4,386.7 fps b128; ≤2-quanta parity, "
           "tests/test_fpn_split.py)")
