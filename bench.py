@@ -45,11 +45,14 @@ Env knobs:
                     kept as the documented negative)
   TAT_CONV_MERGE    fast tier: merge sibling convs (see utils/config.py)
   TAT_FPN_SPLIT     fast tier: split 1x1-over-concat convs; upsampled
-                    parts run at low resolution. DEFAULT ON
-                    (utils/config.py; +2.9% measured: 4,515.4 vs
-                    4,386.7 fps at b128). "wide" also splits concats
-                    whose every part is >= 128 channels (SPPF/PAN);
-                    "all" every eligible concat (measured -4.7%);
+                    parts run at low resolution. DEFAULT "wide"
+                    (utils/config.py): upsample-concats plus concats
+                    whose every part is >= 128 channels (SPPF/PAN).
+                    Measured chain=4 b128: v5s 4,855.1 vs 4,804.0
+                    ("1") vs 4,712.8 (""); real-v5n deep 9,646.8 vs
+                    9,620.7 (""). Detection parity across modes proven
+                    on real scenes (examples/split_mode_parity.py).
+                    "all" = every eligible concat (measured -4.7%);
                     "" to disable.
 
 Diagnostic knobs (examples/feed_bisect.py — isolate which feed-pipeline
@@ -565,10 +568,11 @@ def main() -> None:
             and not os.environ.get("TAT_BENCH_MARS")
             and tier == "fast" and os.path.exists(v5n)):
         # the secondary row runs its own measured-best config, not the
-        # main row's: deep s2d fold ON, fpn-split OFF (v5n round-5
-        # ladder: deep-only 8,443 > deep+split 8,404 > split-only
-        # 8,367 > plain 8,333 fps b128 — split helps v5s, hurts v5n's
-        # thin channels; docs/KERNELS.md round-5)
+        # main row's: deep s2d fold ON, fpn-split "wide" (v5n round-5
+        # ladder: deep+wide 9,646.8 > deep-only 9,620.7 chain=4;
+        # earlier chain=1: deep-only 8,443 > deep+upsample-split 8,404
+        # — upsample-split hurts v5n's thin channels, but the wide
+        # mode's lane-aligned SPPF/PAN splits help; docs/KERNELS.md)
         # subprocess isolation: measured +3% vs in-process (9,094 vs
         # 8,798 fps) — the main row's engine leaves HBM fragmented and
         # executables resident. Compile cache makes the re-init cheap.
@@ -576,7 +580,7 @@ def main() -> None:
         import subprocess
         fps2 = None
         env = dict(os.environ, TAT_BENCH_MARS=v5n, TAT_S2D_DEEP="1",
-                   TAT_FPN_SPLIT="", TAT_BENCH_SECOND="0")
+                   TAT_FPN_SPLIT="wide", TAT_BENCH_SECOND="0")
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -594,7 +598,7 @@ def main() -> None:
                     ("TAT_BENCH_MARS", "TAT_S2D_DEEP", "TAT_FPN_SPLIT")}
             os.environ["TAT_BENCH_MARS"] = v5n
             os.environ["TAT_S2D_DEEP"] = "1"
-            os.environ["TAT_FPN_SPLIT"] = ""
+            os.environ["TAT_FPN_SPLIT"] = "wide"
             try:
                 fps2 = measure(best_batch or 128, size, iters)
             except Exception as e:

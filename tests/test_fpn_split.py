@@ -67,7 +67,7 @@ def test_fast_tier_numeric_parity(rng, act, monkeypatch):
     reassociates the f32 channel accumulation; ties may flip)."""
     g = _fpn_graph(act)
     x = rng.integers(-128, 128, (1, 32, 32, 8), dtype=np.int8)
-    monkeypatch.setenv("TAT_FPN_SPLIT", "")  # explicit off (default is now "1")
+    monkeypatch.setenv("TAT_FPN_SPLIT", "")  # explicit off (default is now "wide")
     base = Engine(g, EngineOptions(precision="fast")).run_np(x)
     monkeypatch.setenv("TAT_FPN_SPLIT", "1")
     split = Engine(g, EngineOptions(precision="fast")).run_np(x)
@@ -83,7 +83,7 @@ def test_all_mode_numeric_yolov5(rng, monkeypatch):
     g = zoo.build_yolov5("n", zoo.ZooConfig(dtype="int8", in_hw=(64, 64),
                                             w_scale=0.0005))
     x = rng.integers(-128, 128, (1, 64, 64, 3), dtype=np.int8)
-    monkeypatch.setenv("TAT_FPN_SPLIT", "")  # explicit off (default is now "1")
+    monkeypatch.setenv("TAT_FPN_SPLIT", "")  # explicit off (default is now "wide")
     base = Engine(g, EngineOptions(precision="fast")).run_np(x)
     monkeypatch.setenv("TAT_FPN_SPLIT", "all")
     split = Engine(g, EngineOptions(precision="fast")).run_np(x)
@@ -104,7 +104,7 @@ def test_upsample_commutation_exact(rng):
     wname = [n for n in g.nodes if n.op == "CONV2D"][-1].inputs[1]
     g.tensors[wname].data[:, 16:] = 0
     x = rng.integers(-64, 64, (1, 32, 32, 8), dtype=np.int8)
-    os.environ["TAT_FPN_SPLIT"] = ""  # explicit off (default is now "1")
+    os.environ["TAT_FPN_SPLIT"] = ""  # explicit off (default is now "wide")
     base = Engine(g, EngineOptions(precision="fast")).run_np(x)
     os.environ["TAT_FPN_SPLIT"] = "1"
     try:

@@ -71,16 +71,18 @@ _register("TAT_CONV_MERGE", False, _bool,
           "fast tier: merge sibling convs over the same input into one "
           "wider conv + SPLIT (exact; doubles MXU lane utilization on "
           "the C3 cv1/cv2 pairs)")
-_register("TAT_FPN_SPLIT", "1", str,
+_register("TAT_FPN_SPLIT", "wide", str,
           "fast tier: split 1x1 convs over channel concats into "
           "per-part dots (upsampled parts computed at low res, the "
           "broadcast fuses into the add). '1' = upsample-concats only "
           "(FPN nodes); 'wide' = those plus concats with every part "
           ">= 128 channels (SPPF/PAN, lane-aligned splits); 'all' = "
           "every 1x1-over-concat (measured -4.7%); '' = off. "
-          "DEFAULT ON since 2026-08-19: +2.9% e2e measured on v5e "
-          "(4,515.4 vs 4,386.7 fps b128; ≤2-quanta parity, "
-          "tests/test_fpn_split.py)")
+          "DEFAULT 'wide' since 2026-08-20: v5s 4,855.1 vs 4,804.0 "
+          "fps (chain=4 b128) and real-v5n deep 9,646.8 vs 9,620.7; "
+          "detection-set parity across ''/'1'/'wide' PROVEN on real "
+          "scenes at conf 0.25/0.10 (examples/split_mode_parity.py; "
+          "≤2-quanta unit bound, tests/test_fpn_split.py)")
 _register("TAT_STEM_NOGROW", False, _bool,
           "serving tier: limit the XLA stem stage to the thin-channel "
           "seed convs (cin < 16); the convs it would grow into run on "
