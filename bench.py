@@ -55,6 +55,12 @@ Env knobs:
                     "all" = every eligible concat (measured -4.7%);
                     "" to disable.
 
+  TAT_XLA_OPTS      comma-separated ``flag=value`` XLA compiler options
+                    forwarded to the (tunneled) compiler, e.g.
+                    ``xla_tpu_scoped_vmem_limit_kib=65536`` — plain
+                    XLA_FLAGS does not reach it. Sweep:
+                    examples/xla_opts_sweep.py.
+
 Diagnostic knobs (examples/feed_bisect.py — isolate which feed-pipeline
 element triggers the opaque execute-time INVALID_ARGUMENT on some
 configs; not perf configs, never the default):
@@ -92,7 +98,8 @@ def _config_tag() -> str:
             "TAT_BENCH_POST", "TAT_BENCH_F32ACC",
             "TAT_BENCH_INGEST", "TAT_BENCH_PRE", "TAT_HEAD_PAD",
             "TAT_S2D_DEEP", "TAT_HEAD_SEM", "TAT_HEAD_MM", "TAT_NMS_POOL",
-            "TAT_DEFER_CLS", "TAT_TOPK_GROUP", "TAT_BENCH_CHAIN")
+            "TAT_DEFER_CLS", "TAT_TOPK_GROUP", "TAT_BENCH_CHAIN",
+            "TAT_XLA_OPTS")
     return "|".join(f"{k}={os.environ.get(k, '')}" for k in keys)
 
 
@@ -201,6 +208,20 @@ def _wait_for_backend() -> bool:
 LAST_INFO: dict = {}
 
 
+def _jit(fn):
+    """jax.jit honoring TAT_XLA_OPTS: comma-separated ``flag=value``
+    XLA compiler options (e.g. ``xla_tpu_scoped_vmem_limit_kib=65536``)
+    forwarded to the (possibly remote/tunneled) compiler — plain
+    XLA_FLAGS does not reach it (docs/KERNELS.md round-3 layout
+    negatives). Unknown flags fail at compile time, loudly."""
+    import jax
+    opts = os.environ.get("TAT_XLA_OPTS", "")
+    if not opts:
+        return jax.jit(fn)
+    return jax.jit(fn, compiler_options=dict(
+        kv.split("=", 1) for kv in opts.split(",") if "=" in kv))
+
+
 def build_pipeline(batch: int, size: str, return_raw: bool = False):
     import jax
     import jax.numpy as jnp
@@ -286,7 +307,7 @@ def build_pipeline(batch: int, size: str, return_raw: bool = False):
     post = os.environ.get("TAT_BENCH_POST", "parse")
     pre = os.environ.get("TAT_BENCH_PRE", "1") != "0"
 
-    @jax.jit
+    @_jit
     def pipeline(frames_u8):
         if pre:
             lb = yolo.letterbox_uint8(frames_u8, in_hw)
@@ -397,7 +418,7 @@ def build_chained(pipeline, frames, batch: int, chain: int, mode: str):
     if chain > 1 and mode == "scan":
         stacked = jax.numpy.stack([frames] * chain)
 
-        @jax.jit
+        @_jit
         def chained_scan(xs):
             return jax.lax.scan(lambda c, x: (c, pipeline(x)),
                                 0, xs)[1]
@@ -415,7 +436,7 @@ def build_chained(pipeline, frames, batch: int, chain: int, mode: str):
             perm = rng.permutation(host.shape[0])
             bufs.append(_ingest(np.ascontiguousarray(host[perm])))
 
-        @jax.jit
+        @_jit
         def chained_inline(*xs):
             return tuple(pipeline(x) for x in xs)
 

@@ -136,3 +136,17 @@ def test_build_chained_chain1_passthrough():
     run, feed, per_call = bench.build_chained(
         pipeline, frames, batch=4, chain=1, mode="inline")
     assert run is pipeline and per_call == 4 and feed == (frames,)
+
+
+def test_jit_honors_tat_xla_opts(monkeypatch):
+    """TAT_XLA_OPTS parses flag=value pairs into compiler_options and
+    the jitted fn still runs; empty/unset is a plain jax.jit."""
+    import jax.numpy as jnp
+    monkeypatch.delenv("TAT_XLA_OPTS", raising=False)
+    f = bench._jit(lambda x: x + 1)
+    np.testing.assert_array_equal(np.asarray(f(jnp.zeros(3))), np.ones(3))
+    # a benign, universally-supported XLA option
+    monkeypatch.setenv("TAT_XLA_OPTS", "xla_backend_optimization_level=2")
+    g = bench._jit(lambda x: x * 2)
+    np.testing.assert_array_equal(np.asarray(g(jnp.ones(3))),
+                                  np.full(3, 2.0))
