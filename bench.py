@@ -217,9 +217,15 @@ def _jit(fn):
     import jax
     opts = os.environ.get("TAT_XLA_OPTS", "")
     if not opts:
-        return jax.jit(fn)
-    return jax.jit(fn, compiler_options=dict(
-        kv.split("=", 1) for kv in opts.split(",") if "=" in kv))
+        wrapped = jax.jit(fn)
+    else:
+        wrapped = jax.jit(fn, compiler_options=dict(
+            kv.split("=", 1) for kv in opts.split(",") if "=" in kv))
+    # keep the raw fn reachable: compiler_options are only legal on the
+    # TOP-LEVEL jit, so build_chained must trace the unjitted body
+    # inside its chain wrappers (nested jits are inlined anyway)
+    wrapped._tat_raw = fn
+    return wrapped
 
 
 def build_pipeline(batch: int, size: str, return_raw: bool = False):
@@ -415,12 +421,16 @@ def build_chained(pipeline, frames, batch: int, chain: int, mode: str):
     tests/test_bench_utils.py).
     """
     import jax
+    # trace the raw body inside chain wrappers: a nested jit carrying
+    # compiler_options (TAT_XLA_OPTS) is a ValueError, and nested jits
+    # are inlined by the tracer anyway — identical program either way
+    body = getattr(pipeline, "_tat_raw", pipeline)
     if chain > 1 and mode == "scan":
         stacked = jax.numpy.stack([frames] * chain)
 
         @_jit
         def chained_scan(xs):
-            return jax.lax.scan(lambda c, x: (c, pipeline(x)),
+            return jax.lax.scan(lambda c, x: (c, body(x)),
                                 0, xs)[1]
 
         return chained_scan, (stacked,), batch * chain
@@ -438,7 +448,7 @@ def build_chained(pipeline, frames, batch: int, chain: int, mode: str):
 
         @_jit
         def chained_inline(*xs):
-            return tuple(pipeline(x) for x in xs)
+            return tuple(body(x) for x in xs)
 
         return chained_inline, tuple(bufs), batch * chain
     return pipeline, (frames,), batch

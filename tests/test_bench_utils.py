@@ -138,6 +138,29 @@ def test_build_chained_chain1_passthrough():
     assert run is pipeline and per_call == 4 and feed == (frames,)
 
 
+def test_chained_jit_with_xla_opts_is_top_level_only(monkeypatch):
+    """Regression: compiler_options are legal ONLY on the top-level
+    jit. A _jit pipeline nested inside the chain wrapper raised
+    'can only be passed to top-level jax.jit' and zeroed every
+    TAT_XLA_OPTS sweep row; build_chained must trace the raw body."""
+    import jax.numpy as jnp
+    from thingino_accel_tpu.runtime.ingest import ingest
+    monkeypatch.setenv("TAT_XLA_OPTS", "xla_backend_optimization_level=2")
+    pipeline = bench._jit(
+        lambda x: x.astype(jnp.float32).sum(axis=(1, 2, 3)))
+    host = np.random.default_rng(3).integers(
+        0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    frames = ingest(host)
+    for mode in ("inline", "scan"):
+        run, feed, per_call = bench.build_chained(
+            pipeline, frames, batch=4, chain=2, mode=mode)
+        outs = run(*feed)   # would raise ValueError before the fix
+        ref = pipeline(frames)
+        got = outs[0] if mode == "inline" else outs[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6)
+
+
 def test_jit_honors_tat_xla_opts(monkeypatch):
     """TAT_XLA_OPTS parses flag=value pairs into compiler_options and
     the jitted fn still runs; empty/unset is a plain jax.jit."""
